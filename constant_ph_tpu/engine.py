@@ -120,7 +120,7 @@ class Engine:
         extra_potentials: tuple = (),
         bonded_fn: Optional[Callable] = None,
         kspace_fn: Optional[Callable] = None,
-        constraint_fn: Optional[Callable] = None,
+        constraints=None,
     ):
         self.ff = ff
         self.nbr_params = nbr_params
@@ -130,7 +130,8 @@ class Engine:
         self.extra_potentials = tuple(extra_potentials)
         self.bonded_fn = bonded_fn
         self.kspace_fn = kspace_fn
-        self.constraint_fn = constraint_fn
+        self.constraints = constraints
+        self.n_constraints = 0 if constraints is None else constraints.n_constraints
         self.n_sites = 0 if spec is None else spec.n_sites
 
     # -- neighbor structure -------------------------------------------------
@@ -198,7 +199,7 @@ class Engine:
     def observe(self, state: SystemState, frc: Forces) -> Observables:
         ff = self.ff
         ke = kinetic_energy(state.v, ff.mass)
-        ndof = 3 * state.x.shape[0] - 3
+        ndof = 3 * state.x.shape[0] - 3 - self.n_constraints
         temp = 2.0 * ke / (ndof * units.BOLTZ)
         if self.spec is not None:
             ke_lam = lambda_dyn.lambda_kinetic(state.v_lam, self.spec)
@@ -241,7 +242,7 @@ class Engine:
 
         use_nhc = cfg.thermostat == "nhc"
         nhc_xi, nhc_lam_xi = state.nhc_xi, state.nhc_lam_xi
-        ndof = 3 * x.shape[0] - 3
+        ndof = 3 * x.shape[0] - 3 - self.n_constraints
         kT = units.BOLTZ * cfg.T
 
         if use_nhc:
@@ -286,9 +287,9 @@ class Engine:
         if has_lam:
             lam = lam + (0.5 * dt) * v_lam
 
-        # constraints (rigid water etc.) applied to positions + velocities
-        if self.constraint_fn is not None:
-            x, v = self.constraint_fn(state.x, x, v, state.box, dt)
+        # constraints (rigid water etc.): SHAKE positions onto the manifold
+        if self.constraints is not None:
+            x, v = self.constraints.positions(state.x, x, v, state.box, dt)
 
         # force at new positions
         frc_new = self.compute_forces(x, lam, state.box, state.pH, nbr)
@@ -311,6 +312,10 @@ class Engine:
                 self.n_sites, kT, cfg.lambda_tau, dt,
             )
             v_lam = v_lam * scale_l
+
+        # RATTLE: project constraint-violating velocity components
+        if self.constraints is not None:
+            v = self.constraints.velocities(x, v, state.box)
 
         new_state = state.replace(
             x=x, v=v, lam=lam, v_lam=v_lam,

@@ -29,6 +29,12 @@ class PairParams:
     cutoff: float = struct.field(pytree_node=False, default=10.0)
     coul_cutoff: float = struct.field(pytree_node=False, default=10.0)
     alpha: float = struct.field(pytree_node=False, default=0.0)
+    # 'cut': plain truncation (α=0) or Ewald real-space (α>0, reciprocal
+    #        part supplied by ops.ewald);
+    # 'dsf': damped-shifted-force Coulomb (Fennell–Gezelter) — energy AND
+    #        force continuous at the cutoff; the conserving standalone
+    #        electrostatics (LAMMPS coul/dsf analog).
+    coul_style: str = struct.field(pytree_node=False, default="cut")
     # special-bonds scale factors indexed by neighbor code 0..3
     # (0 = normal, 1 = 1-2, 2 = 1-3, 3 = 1-4); LAMMPS-style semantics.
     special_lj: jax.Array = struct.field(
@@ -46,6 +52,7 @@ def make_pair_params(
     *,
     coul_cutoff: float | None = None,
     alpha: float = 0.0,
+    coul_style: str = "cut",
     shift: bool = True,
     special_lj=(1.0, 0.0, 0.0, 0.0),
     special_coul=(1.0, 0.0, 0.0, 0.0),
@@ -70,6 +77,7 @@ def make_pair_params(
         cutoff=float(cutoff),
         coul_cutoff=float(coul_cutoff if coul_cutoff is not None else cutoff),
         alpha=float(alpha),
+        coul_style=coul_style,
         special_lj=jnp.asarray(special_lj, dtype=dtype),
         special_coul=jnp.asarray(special_coul, dtype=dtype),
     )

@@ -63,6 +63,11 @@ def make_neighbor_params(
     multiple of 128 (or 8 for small systems).
     """
     box = np.asarray(box, dtype=np.float64)
+    if cutoff > float(box.min()) / 2.0 + 1e-9:
+        raise ValueError(
+            f"pair cutoff {cutoff} exceeds half the smallest box length "
+            f"({box.min() / 2:.3f}); minimum-image convention would be violated"
+        )
     rc = cutoff + skin
     vol = float(np.prod(box))
     density = n_atoms / vol

@@ -1,0 +1,104 @@
+"""Holonomic constraints: M-SHAKE / M-RATTLE for rigid triatomics.
+
+Rigid SPC/E water is the work-horse solvent of the BASELINE configs; the
+reference delegates constraints to its host engine (SURVEY.md §2.3.12).
+TPU-native shape: all M water molecules are constrained in parallel with
+batched 3×3 linear solves — M-RATTLE velocity projection is a single exact
+solve, and M-SHAKE positions are a fixed small number of Newton iterations
+(static trip count, no data-dependent control flow). Molecules are disjoint,
+so everything is embarrassingly parallel (M, 3, 3) tensor algebra.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from constant_ph_tpu.state import min_image
+
+# constraint incidence matrix: rows = constraints (0-1, 0-2, 1-2),
+# cols = atoms; J_c x = Σ_t C[c,t] x_t is the bond vector of constraint c.
+_C = np.array([[1.0, -1.0, 0.0],
+               [1.0, 0.0, -1.0],
+               [0.0, 1.0, -1.0]])
+
+
+class RigidTriatomic:
+    """Constraints for M identical triatomic molecules.
+
+    triplets: (M, 3) atom indices (center, satellite1, satellite2) —
+    e.g. (O, H1, H2). Constraints: |r01| = d01, |r02| = d01, |r12| = d12.
+    """
+
+    def __init__(self, triplets, masses, d01: float, d12: float,
+                 *, n_newton: int = 6):
+        self.triplets = jnp.asarray(np.asarray(triplets, dtype=np.int32))
+        self.d2 = np.array([d01 * d01, d01 * d01, d12 * d12])
+        self.n_newton = n_newton
+        m = np.asarray(masses)[np.asarray(triplets)]       # (M, 3)
+        inv_m = 1.0 / m
+        # W[c',c] = Σ_t C[c',t] C[c,t] / m_t  — per-molecule (3, 3)
+        self.W = jnp.asarray(
+            np.einsum("ct,dt,mt->mcd", _C, _C, inv_m), dtype=jnp.float32
+        )
+        self.inv_m = jnp.asarray(inv_m, dtype=jnp.float32)  # (M, 3)
+        self.Cmat = jnp.asarray(_C, dtype=jnp.float32)
+
+    @property
+    def n_constraints(self) -> int:
+        return 3 * self.triplets.shape[0]
+
+    def _gather_local(self, x, box):
+        """Molecule positions unwrapped into the center atom's image."""
+        xm = x[self.triplets]                 # (M, 3, 3)
+        center = xm[:, :1, :]
+        return center + min_image(xm - center, box)
+
+    def positions(self, x_ref, x, v, box, dt):
+        """M-SHAKE: Newton iterations with exact 3×3 solves; moves x onto
+        the constraint manifold along the reference bond directions and
+        adds the displacement/dt to v (standard SHAKE velocity bookkeeping).
+        """
+        dtype = x.dtype
+        C = self.Cmat.astype(dtype)
+        W = self.W.astype(dtype)
+        inv_m = self.inv_m.astype(dtype)
+        d2 = jnp.asarray(self.d2, dtype=dtype)
+
+        xm0 = self._gather_local(x, box)      # (M, 3atoms, 3xyz)
+        xr = self._gather_local(x_ref, box)
+        s_ref = jnp.einsum("ct,mtx->mcx", C, xr)   # (M, 3con, 3xyz)
+
+        def newton(_, xm):
+            s = jnp.einsum("ct,mtx->mcx", C, xm)
+            g = 0.5 * (jnp.sum(s * s, axis=-1) - d2)      # (M, 3)
+            A = W * jnp.einsum("mcx,mdx->mcd", s, s_ref)  # (M, 3, 3)
+            k = jnp.linalg.solve(A, -g[..., None])[..., 0]
+            # dx_t = (1/m_t) Σ_c k_c C[c,t] s_ref_c
+            dx = inv_m[..., None] * jnp.einsum("mc,ct,mcx->mtx", k, C, s_ref)
+            return xm + dx
+
+        xm = jax.lax.fori_loop(0, self.n_newton, newton, xm0)
+        delta = xm - xm0
+        flat = self.triplets.reshape(-1)
+        x = x.at[flat].add(delta.reshape(-1, 3))
+        v = v.at[flat].add(delta.reshape(-1, 3) / dt)
+        return x, v
+
+    def velocities(self, x, v, box):
+        """M-RATTLE: one exact 3×3 solve removes all velocity components
+        along constraint directions."""
+        dtype = x.dtype
+        C = self.Cmat.astype(dtype)
+        W = self.W.astype(dtype)
+        inv_m = self.inv_m.astype(dtype)
+
+        xm = self._gather_local(x, box)
+        vm = v[self.triplets]                      # (M, 3, 3)
+        s = jnp.einsum("ct,mtx->mcx", C, xm)
+        jv = jnp.einsum("mcx,ct,mtx->mc", s, C, vm)
+        A = W * jnp.einsum("mcx,mdx->mcd", s, s)
+        k = jnp.linalg.solve(A, -jv[..., None])[..., 0]
+        dv = inv_m[..., None] * jnp.einsum("mc,ct,mcx->mtx", k, C, s)
+        flat = self.triplets.reshape(-1)
+        return v.at[flat].add(dv.reshape(-1, 3))

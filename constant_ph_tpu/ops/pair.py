@@ -104,11 +104,28 @@ def pair_forces(
     # Ewald this subtracts the erf part that reciprocal space adds back.
     screen_e = erfc_ar - (1.0 - scoul)
     screen_f = erfc_ar + gauss - (1.0 - scoul)
-    kqq_r = units.QQR2E * qi * qj / r
-    e_c_pair = kqq_r * screen_e * in_c
-    f_c = kqq_r * screen_f * inv_r2 * in_c
-    # φ uses the same screening so that Σᵢ qᵢφᵢ = 2·E_coul exactly
-    phi_pair = units.QQR2E * qj / r * screen_e * in_c
+    # per-charge-pair potential kernels u(r) and (−du/dr)/r
+    u_r = screen_e / r
+    w_r = screen_f * inv_r2 / r
+    if pp.coul_style == "dsf":
+        # damped-shifted-force: u and du/dr both vanish at the cutoff
+        # (Fennell & Gezelter; LAMMPS coul/dsf). Shift constants are static.
+        import math
+
+        rc = pp.coul_cutoff
+        erfc_rc = math.erfc(alpha * rc)
+        e_sh = erfc_rc / rc
+        f_sh = erfc_rc / rc**2 + (
+            _TWO_OVER_SQRT_PI * alpha * math.exp(-((alpha * rc) ** 2)) / rc
+        )
+        # shifts apply only to the retained fraction s of the interaction
+        u_r = u_r - scoul * (e_sh - f_sh * (r - rc))
+        w_r = w_r - scoul * f_sh / r
+    kqq = units.QQR2E * qi * qj
+    e_c_pair = kqq * u_r * in_c
+    f_c = kqq * w_r * in_c
+    # φ uses the same kernel so that Σᵢ qᵢφᵢ = 2·E_coul exactly
+    phi_pair = units.QQR2E * qj * u_r * in_c
 
     fpair = f_lj + f_c                            # (N, K), force/r along dx
     force = jnp.sum(fpair[..., None] * dx, axis=1)

@@ -21,7 +21,7 @@ def lj_fluid(
     epsilon: float = 0.238,        # kcal/mol (argon)
     sigma: float = 3.405,          # Å
     mass: float = 39.948,          # g/mol
-    cutoff: float = 8.5,
+    cutoff: float = 8.0,
     skin: float = 2.0,
     T: float = 120.0,
     seed: int = 0,

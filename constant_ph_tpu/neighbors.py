@@ -118,15 +118,25 @@ def _special_codes(idx, excl_idx, excl_code):
 
 
 def _finalize(x, box, cand, params, excl_idx, excl_code, extra_overflow):
-    """Candidate ids (N, C_all) → K-nearest padded neighbor list."""
+    """Candidate ids (N, C_all) → K-nearest padded neighbor list.
+
+    TPU layout note: distances are computed per coordinate on (N, C)
+    arrays (xyz as a leading batch axis) — materializing (N, C, 3) would
+    lane-pad the trailing 3 to 128 on TPU, a 42× memory blowup.
+    """
     n = x.shape[0]
     k = params.capacity
     rc2 = params.cutoff * params.cutoff
 
     cand = cand.astype(jnp.int32)
-    xj = x[jnp.clip(cand, 0, n - 1)]                          # (N, C, 3)
-    dx = min_image(x[:, None, :] - xj, box)
-    r2 = jnp.sum(dx * dx, axis=-1)
+    cc = jnp.clip(cand, 0, n - 1)
+    # three independent (N,) → (N, C) gathers; a fused (N, C, 3) form would
+    # be lane-padded 3→128 by the TPU layout
+    r2 = jnp.zeros(cc.shape, dtype=x.dtype)
+    for d in range(3):
+        xd = jax.lax.index_in_dim(x, d, axis=1, keepdims=False)  # (N,)
+        dxd = min_image(xd[:, None] - xd[cc], box[d])
+        r2 = r2 + dxd * dxd                                      # (N, C)
     self_ids = jnp.arange(n, dtype=jnp.int32)[:, None]
     valid = (cand < n) & (cand != self_ids) & (r2 < rc2)
     # push invalid candidates to +inf distance so top_k keeps real ones

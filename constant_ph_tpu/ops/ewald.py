@@ -1,0 +1,187 @@
+"""Reciprocal-space electrostatics: MXU-native factorized Ewald.
+
+The reference consumes a KSpace solver through per-atom energy tallies
+(force->kspace->eatom, fix_constant_pH.cpp:241-244) and needs its dU/dλ
+contribution (SURVEY.md §7.3 hard-part 1: "dU/dλ through the full
+electrostatics path"). TPU-native design choice (SURVEY.md §2.3.13):
+instead of translating PPPM's charge-spreading scatter + FFT (scatter is
+the op TPUs hate most), the structure factor is factorized per dimension,
+
+    S(k) = Σ_i q_i e^{ik·r} = Σ_i q_i Ex[i,nx] Ey[i,ny] Ez[i,nz],
+
+and every contraction becomes a tall-skinny MATMUL on the MXU:
+T1 = Ey⊙Ez gathered to (N, My·Mz), then S = (q·Ex)ᵀ @ T1, and energy /
+force / φ all reduce to (N, My·Mz) @ (My·Mz, Mx) products. Accuracy is the
+classic Ewald tradeoff (α, real cutoff, k-cutoff); everything is exactly
+differentiable, so φ = ∂U/∂q (the dU/dλ backbone) is analytic and cheap.
+
+Conventions: U_rec = (2π/V)·C Σ_{k≠0} e^{−k²/4α²}/k² |S(k)|² with
+C = QQR2E; the k sum runs over the full integer cube (both ±k), masked to
+a sphere. Self energy −C·α/√π Σq² and the neutralizing-background term
+−C·π/(2α²V)(Σq)² are included here; the real-space erfc part and the
+excluded-pair erf compensation live in ops.pair (pp.alpha > 0).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from constant_ph_tpu import units
+
+_SQRT_PI = 1.7724538509055159
+
+
+@struct.dataclass
+class EwaldParams:
+    alpha: float = struct.field(pytree_node=False)
+    nmax: tuple = struct.field(pytree_node=False)     # (nx, ny, nz) max index
+    kx: jax.Array      # (Mx,) 2π n / Lx
+    ky: jax.Array      # (My,)
+    kz: jax.Array      # (Mz,)
+    A: jax.Array       # (Mx, My*Mz) prefactor C·(2π/V)·e^{−k²/4α²}/k², 0-masked
+    ky_idx: jax.Array  # (My*Mz,) int32 — index maps for the fused yz axis
+    kz_idx: jax.Array  # (My*Mz,)
+    volume: float = struct.field(pytree_node=False)
+
+
+def suggest_alpha(cutoff: float, accuracy: float = 1e-4) -> float:
+    """Ewald splitting α from the real-space cutoff and force accuracy
+    (erfc(α·rc) ≈ accuracy — the LAMMPS-style heuristic)."""
+    s = 1.0
+    while np.exp(-s * s) / (s * s) > accuracy and s < 10:
+        s += 0.01
+    return s / cutoff
+
+
+def make_ewald_params(
+    box, alpha: float, *, accuracy: float = 1e-4, kmax: int | None = None,
+    dtype=jnp.float32,
+) -> EwaldParams:
+    """Host-side precomputation of the k-grid for a fixed box."""
+    box = np.asarray(box, dtype=np.float64)
+    V = float(np.prod(box))
+    if kmax is None:
+        # e^{−k²/4α²}/ (k²/4α²) ≈ accuracy  →  k_cut ≈ 2·α·s
+        s = 1.0
+        while np.exp(-s * s) / (s * s) > accuracy and s < 10:
+            s += 0.01
+        k_cut = 2.0 * alpha * s
+        nmax = tuple(int(np.ceil(k_cut * L / (2 * np.pi))) for L in box)
+    else:
+        nmax = (kmax, kmax, kmax)
+        k_cut = 2 * np.pi * kmax / box.min()
+
+    ns = [np.arange(-m, m + 1) for m in nmax]
+    kx = 2 * np.pi * ns[0] / box[0]
+    ky = 2 * np.pi * ns[1] / box[1]
+    kz = 2 * np.pi * ns[2] / box[2]
+    KX, KY, KZ = np.meshgrid(kx, ky, kz, indexing="ij")
+    k2 = KX**2 + KY**2 + KZ**2
+    mask = (k2 > 1e-12) & (np.sqrt(k2) <= k_cut + 1e-12)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        A = np.where(mask, np.exp(-k2 / (4 * alpha * alpha)) / k2, 0.0)
+    A *= units.QQR2E * 2.0 * np.pi / V
+
+    My, Mz = len(ky), len(kz)
+    yz_y, yz_z = np.meshgrid(np.arange(My), np.arange(Mz), indexing="ij")
+    return EwaldParams(
+        alpha=float(alpha),
+        nmax=nmax,
+        kx=jnp.asarray(kx, dtype=dtype),
+        ky=jnp.asarray(ky, dtype=dtype),
+        kz=jnp.asarray(kz, dtype=dtype),
+        A=jnp.asarray(A.reshape(len(kx), My * Mz), dtype=dtype),
+        ky_idx=jnp.asarray(yz_y.reshape(-1), dtype=jnp.int32),
+        kz_idx=jnp.asarray(yz_z.reshape(-1), dtype=jnp.int32),
+        volume=V,
+    )
+
+
+def _phase_tables(x, ep: EwaldParams):
+    """Per-dimension complex phase tables Ex, Ey, Ez as (cos, sin) pairs."""
+    out = []
+    for d, k in enumerate((ep.kx, ep.ky, ep.kz)):
+        xd = jax.lax.index_in_dim(x, d, axis=1, keepdims=False)  # (N,)
+        ang = xd[:, None] * k[None, :]                            # (N, Md)
+        out.append((jnp.cos(ang), jnp.sin(ang)))
+    return out
+
+
+def ewald_recip(x, q, ep: EwaldParams):
+    """Reciprocal + self + background energy, forces, φ=∂U/∂q, per-atom tally.
+
+    Returns (E, F(N,3), phi(N,), eatom(N,)).
+    """
+    n = x.shape[0]
+    dtype = x.dtype
+    (exr, exi), (eyr, eyi), (ezr, ezi) = _phase_tables(x, ep)
+
+    # fused yz phase table T1 = Ey ⊙ Ez, gathered to (N, My·Mz)
+    ar, ai = eyr[:, ep.ky_idx], eyi[:, ep.ky_idx]
+    br, bi = ezr[:, ep.kz_idx], ezi[:, ep.kz_idx]
+    t1r = ar * br - ai * bi
+    t1i = ar * bi + ai * br
+
+    # S[nx, yz] = Σ_i q_i Ex[i,nx] T1[i,yz]   (4 real MXU matmuls)
+    qexr = q[:, None] * exr
+    qexi = q[:, None] * exi
+    f32 = jnp.float32
+    mm = lambda a, b: jax.lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())), preferred_element_type=f32
+    )
+    sr = mm(qexr, t1r) - mm(qexi, t1i)      # (Mx, MyMz)
+    si = mm(qexr, t1i) + mm(qexi, t1r)
+
+    A = ep.A
+    e_rec = jnp.sum(A * (sr * sr + si * si))
+
+    # G = A·conj(S); weighted variants fold in k_y/k_z; k_x folds into the
+    # Ex contraction afterwards (it depends only on nx).
+    ky_yz = ep.ky[ep.ky_idx]                # (MyMz,)
+    kz_yz = ep.kz[ep.kz_idx]
+    mmT = lambda a, b: jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=f32
+    )  # (N, MyMz) @ (Mx, MyMz)^T -> (N, Mx)
+
+    def contract(gr, gi):
+        """W[i,nx] = Σ_yz T1[i,yz]·G[nx,yz] (complex) → (N, Mx) r/i."""
+        wr = mmT(t1r, gr) - mmT(t1i, gi)
+        wi = mmT(t1r, gi) + mmT(t1i, gr)
+        return wr, wi
+
+    gr0, gi0 = A * sr, -(A * si)            # A·conj(S)
+    w0r, w0i = contract(gr0, gi0)
+    # P = Ex·T1; Re[conj(S)·A·P] summed over k → φ/2
+    re_sum = jnp.sum(exr * w0r - exi * w0i, axis=1)
+    im_sum = jnp.sum(exr * w0i + exi * w0r, axis=1)
+    phi = 2.0 * re_sum
+
+    # forces: F_d = 2 q Σ_k A·k_d·Im[conj(S)·P]
+    fx = 2.0 * q * jnp.sum(ep.kx[None, :] * (exr * w0i + exi * w0r), axis=1)
+    wyr, wyi = contract(ky_yz[None, :] * gr0, ky_yz[None, :] * gi0)
+    fy = 2.0 * q * jnp.sum(exr * wyi + exi * wyr, axis=1)
+    wzr, wzi = contract(kz_yz[None, :] * gr0, kz_yz[None, :] * gi0)
+    fz = 2.0 * q * jnp.sum(exr * wzi + exi * wzr, axis=1)
+    force = jnp.stack([fx, fy, fz], axis=-1)
+
+    # self energy + neutralizing background
+    C = units.QQR2E
+    qsum = jnp.sum(q)
+    e_self = -C * ep.alpha / _SQRT_PI * jnp.sum(q * q)
+    e_bg = -C * jnp.pi / (2.0 * ep.alpha**2 * ep.volume) * qsum * qsum
+    phi = phi - 2.0 * C * ep.alpha / _SQRT_PI * q \
+        - C * jnp.pi / (ep.alpha**2 * ep.volume) * qsum
+
+    e_total = e_rec + e_self + e_bg
+    eatom = 0.5 * q * phi
+    return e_total, force.astype(dtype), phi.astype(dtype), eatom.astype(dtype)
+
+
+def make_kspace_fn(ep: EwaldParams):
+    """Engine hook: (x, q, box) -> (E, F, phi, eatom). Box is fixed at
+    params-build time (NVT); NPT would re-derive ep from the live box."""
+    def fn(x, q, box):
+        return ewald_recip(x, q, ep)
+    return fn

@@ -61,9 +61,16 @@ def pair_forces(
     jc = jnp.clip(j, 0, n - 1)
     valid = j < n                                 # (N, K) bool
 
-    xj = x[jc]                                    # (N, K, 3)
-    dx = min_image(x[:, None, :] - xj, box)       # points from j to i
-    r2 = jnp.sum(dx * dx, axis=-1)
+    # TPU layout: three independent per-coordinate (N,) → (N, K) gathers.
+    # A fused (N, K, 3) gather would be lane-padded 3→128 on TPU (42×
+    # memory); keeping each component as its own (N, K) array tiles cleanly.
+    dx = []
+    r2 = jnp.zeros(jc.shape, dtype=dtype)
+    for d in range(3):
+        xd = jax.lax.index_in_dim(x, d, axis=1, keepdims=False)
+        dxd = min_image(xd[:, None] - xd[jc], box[d])          # j → i
+        dx.append(dxd)
+        r2 = r2 + dxd * dxd                                    # (N, K)
     # NaN-safe padding: push sentinel pairs outside every cutoff so they
     # never divide by ~0 (keeps grads finite — the "double-where" rule).
     far = max(pp.cutoff, pp.coul_cutoff) ** 2 + 1.0
@@ -128,7 +135,9 @@ def pair_forces(
     phi_pair = units.QQR2E * qj * u_r * in_c
 
     fpair = f_lj + f_c                            # (N, K), force/r along dx
-    force = jnp.sum(fpair[..., None] * dx, axis=1)
+    force = jnp.stack(
+        [jnp.sum(fpair * dx[d], axis=1) for d in range(3)], axis=-1
+    )                                             # (N, 3)
     eatom = 0.5 * jnp.sum(e_lj_pair + e_c_pair, axis=1)
     phi = jnp.sum(phi_pair, axis=1)
     virial = 0.5 * jnp.sum(fpair * r2)

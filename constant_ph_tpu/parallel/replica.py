@@ -1,0 +1,82 @@
+"""pH replica exchange over a device mesh (BASELINE config 5).
+
+One replica per device (or several per device), batched with vmap and
+sharded over a `replica` mesh axis; XLA inserts the (tiny) collectives for
+the swap decision over ICI. This is the MD analog of data parallelism
+(SURVEY.md §2.4) and the idiomatic TPU replacement for the reference's
+replica-level MPI patterns.
+
+Swap move (even/odd alternating neighbor pairs, Metropolis): replicas keep
+their configurations and exchange pH values. Because the Hamiltonian's
+pH-dependence is purely the f(λ)·kT·ln10·(pK−pH) term per site
+(fix_constant_pH.cpp:111), the acceptance exponent reduces exactly to
+
+    β·Δ = ln10 · (pH_i − pH_j) · (F_i − F_j),   F = Σ_sites f(λ_s)
+
+— no energy re-evaluation needed.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from constant_ph_tpu import lambda_dyn, units
+from constant_ph_tpu.state import SystemState
+
+
+def _f_sum(lam, bias):
+    f, _ = lambda_dyn.switching(lam, bias)
+    return jnp.sum(f)
+
+
+def swap_phs(states: SystemState, key, bias, parity):
+    """One even/odd pH-swap sweep over the replica batch (leading axis R).
+
+    parity: 0 swaps pairs (0,1),(2,3),…; 1 swaps (1,2),(3,4),….
+    Returns (new_states, accepted_mask).
+    """
+    R = states.pH.shape[0]
+    pH = states.pH
+    F = jax.vmap(lambda l: _f_sum(l, bias))(states.lam)
+
+    # neighbor of replica r within its pair for this parity
+    idx = jnp.arange(R)
+    partner = jnp.where((idx - parity) % 2 == 0, idx + 1, idx - 1)
+    partner = jnp.clip(partner, 0, R - 1)
+    valid = (partner != idx) & ((partner - parity) >= 0) & (partner < R)
+
+    # β·ΔH for the swap; accept with min(1, exp(−β·ΔH))
+    beta_dH = units.LN10 * (pH - pH[partner]) * (F - F[partner])
+    # one uniform per PAIR: use the lower index of each pair
+    low = jnp.minimum(idx, partner)
+    u = jax.random.uniform(key, (R,))
+    u_pair = u[low]
+    accept = (u_pair < jnp.exp(jnp.minimum(-beta_dH, 0.0))) & valid
+
+    new_pH = jnp.where(accept, pH[partner], pH)
+    return states.replace(pH=new_pH), accept
+
+
+def make_rex_runner(engine, md_steps_per_swap: int):
+    """Build a jittable replica-exchange block:
+    (states_batched, nbrs_batched, key, parity) ->
+        (states, nbrs, key, swap_accept, obs_last)
+
+    vmap over the replica batch; shard the batch axis over a mesh to run
+    one replica per chip (see __graft_entry__.dryrun_multichip).
+    """
+    run = engine.make_run(md_steps_per_swap)
+
+    def block(states, nbrs, key, parity):
+        states, nbrs, obs = jax.vmap(run)(states, nbrs)
+        key, k_swap = jax.random.split(key)
+        states, accepted = swap_phs(states, k_swap, engine.bias, parity)
+        last_obs = jax.tree.map(lambda a: a[:, -1], obs)
+        return states, nbrs, key, accepted, last_obs
+
+    return block
+
+
+def stack_replicas(states: list[SystemState]) -> SystemState:
+    """Stack per-replica states into one batched SystemState."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *states)

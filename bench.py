@@ -46,10 +46,13 @@ def main():
         print(f"# {msg}", file=_sys.stderr, flush=True)
 
     log(f"system built: {n_atoms} atoms")
-    state, _ = fire_minimize(eng, sys_.state, n_steps=100)
+    # jit EVERYTHING — on the remote TPU backend each eager primitive is a
+    # separate remote compile, so eager neighbor builds take minutes.
+    minimize = jax.jit(lambda s: fire_minimize(eng, s, n_steps=100)[0])
+    state = minimize(sys_.state)
     jax.block_until_ready(state.x)
     log("minimized")
-    nbr = eng.build_neighbors(state.x, state.box)
+    nbr = jax.jit(eng.build_neighbors)(state.x, state.box)
 
     # ONE compiled block (rebuild + rebuild_every steps), reused for warmup
     # and measurement — keeps compile cost to a single program.

@@ -23,6 +23,30 @@ _C = np.array([[1.0, -1.0, 0.0],
                [0.0, 1.0, -1.0]])
 
 
+def _solve3(A, b):
+    """Batched 3×3 solve via Cramer's rule — pure VPU elementwise math
+    (jnp.linalg.solve's LAPACK-style path is a poor fit for TPU kernels).
+
+    A: (..., 3, 3), b: (..., 3) → (..., 3).
+    """
+    a00, a01, a02 = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    a10, a11, a12 = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    a20, a21, a22 = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    c00 = a11 * a22 - a12 * a21
+    c01 = a12 * a20 - a10 * a22
+    c02 = a10 * a21 - a11 * a20
+    det = a00 * c00 + a01 * c01 + a02 * c02
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-20, det, 1e-20)
+    b0, b1, b2 = b[..., 0], b[..., 1], b[..., 2]
+    x0 = (b0 * c00 + b1 * (a02 * a21 - a01 * a22)
+          + b2 * (a01 * a12 - a02 * a11)) * inv_det
+    x1 = (b0 * c01 + b1 * (a00 * a22 - a02 * a20)
+          + b2 * (a02 * a10 - a00 * a12)) * inv_det
+    x2 = (b0 * c02 + b1 * (a01 * a20 - a00 * a21)
+          + b2 * (a00 * a11 - a01 * a10)) * inv_det
+    return jnp.stack([x0, x1, x2], axis=-1)
+
+
 class RigidTriatomic:
     """Constraints for M identical triatomic molecules.
 
@@ -73,7 +97,7 @@ class RigidTriatomic:
             s = jnp.einsum("ct,mtx->mcx", C, xm)
             g = 0.5 * (jnp.sum(s * s, axis=-1) - d2)      # (M, 3)
             A = W * jnp.einsum("mcx,mdx->mcd", s, s_ref)  # (M, 3, 3)
-            k = jnp.linalg.solve(A, -g[..., None])[..., 0]
+            k = _solve3(A, -g)
             # dx_t = (1/m_t) Σ_c k_c C[c,t] s_ref_c
             dx = inv_m[..., None] * jnp.einsum("mc,ct,mcx->mtx", k, C, s_ref)
             return xm + dx
@@ -98,7 +122,7 @@ class RigidTriatomic:
         s = jnp.einsum("ct,mtx->mcx", C, xm)
         jv = jnp.einsum("mcx,ct,mtx->mc", s, C, vm)
         A = W * jnp.einsum("mcx,mdx->mcd", s, s)
-        k = jnp.linalg.solve(A, -jv[..., None])[..., 0]
+        k = _solve3(A, -jv)
         dv = inv_m[..., None] * jnp.einsum("mc,ct,mcx->mtx", k, C, s)
         flat = self.triplets.reshape(-1)
         return v.at[flat].add(dv.reshape(-1, 3))

@@ -5,13 +5,16 @@ Baseline context: the reference publishes NO numbers (2-file non-compiling
 sketch; BASELINE.json "published": {}). The measurable yardstick adopted in
 BASELINE.md is LAMMPS-CPU throughput on a comparable 25k-atom solvated
 system, ~5 ns/day at 2 fs on a multicore CPU node (order-of-magnitude,
-documented in BASELINE.md §table) — `vs_baseline` is ns/day ÷ 5.0.
+documented in BASELINE.md) — `vs_baseline` is ns/day ÷ 5.0.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Uses the tiled TPU hot path (constant_ph_tpu.tiled): roll-stencil cell
+blocks, zero gathers per step. Prints ONE JSON line:
+{"metric", "value", "unit", "vs_baseline"}.
 """
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import jax
@@ -20,65 +23,85 @@ import jax.numpy as jnp
 BASELINE_NS_DAY = 5.0
 
 
+def log(msg):
+    print(f"# {msg}", file=sys.stderr, flush=True)
+
+
 def main():
-    import numpy as np
-
     from constant_ph_tpu.engine import EngineConfig
-    from constant_ph_tpu.minimize import fire_minimize
     from constant_ph_tpu.systems.water import solvated_acid
+    from constant_ph_tpu.tiled.engine import TiledEngine
+    from constant_ph_tpu.tiled.layout import split_system, to_tiled
 
-    n_side = 20           # 20^3-1 waters + acid = 24,001 atoms
-    dt = 1.0
-    sys_ = solvated_acid(
-        n_side=n_side, rigid_water=True, lambda_coupled=True,
-        cutoff=8.0, skin=2.0, coul_style="dsf", alpha=0.2, pH=5.0,
-    )
+    # build host-side on the CPU backend — per-array transfers through the
+    # TPU tunnel are seconds each; one device_put at the end is cheap
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        sys_ = solvated_acid(
+            n_side=20, rigid_water=True, lambda_coupled=True,
+            cutoff=8.0, skin=2.0, coul_style="dsf", alpha=0.2, pH=5.0,
+        )
+        ts = split_system(sys_, skin=2.0)
+        tst = to_tiled(ts, sys_.state)
     n_atoms = sys_.state.x.shape[0]
+    log(f"built {n_atoms} atoms, grid {ts.params.grid}, W {ts.params.W}")
+
+    dev = jax.devices()[0]
+    tst = jax.device_put(tst, dev)
+    # static tables ride along inside the engine closures
+    log("state on device")
+
+    dt = 1.0
+    cfg_eq = EngineConfig(
+        dt=0.5, thermostat="langevin", T=300.0, gamma=0.01,
+        lambda_thermostat="langevin", rebuild_every=20, force_cap=50.0,
+    )
+    eng_eq = TiledEngine(ts, cfg_eq)
+    minimize = jax.jit(eng_eq.make_minimize(400))
+    tst, e_hist = minimize(tst)
+    jax.block_until_ready(tst.wx)
+    log(f"minimized: E {float(e_hist[0]):.0f} -> {float(e_hist[-1]):.0f}")
+    run_eq = jax.jit(eng_eq.make_run(200))
+    tst, ov, obs = run_eq(tst)
+    jax.block_until_ready(tst.wx)
+    log(f"equilibration block 1: T={float(obs.temp[-1]):.0f}K "
+        f"overflow={bool(ov)}")
+    for _ in range(3):
+        tst, ov, obs = run_eq(tst)
+    jax.block_until_ready(tst.wx)
+    log(f"equilibrated: T={float(obs.temp[-1]):.0f}K overflow={bool(ov)}")
+
     cfg = EngineConfig(
         dt=dt, thermostat="langevin", T=300.0, gamma=0.002,
         lambda_thermostat="langevin", rebuild_every=20,
     )
-    eng = sys_.make_engine(cfg)
-
-    import sys as _sys
-
-    def log(msg):
-        print(f"# {msg}", file=_sys.stderr, flush=True)
-
-    log(f"system built: {n_atoms} atoms")
-    # jit EVERYTHING — on the remote TPU backend each eager primitive is a
-    # separate remote compile, so eager neighbor builds take minutes.
-    minimize = jax.jit(lambda s: fire_minimize(eng, s, n_steps=100)[0])
-    state = minimize(sys_.state)
-    jax.block_until_ready(state.x)
-    log("minimized")
-    nbr = jax.jit(eng.build_neighbors)(state.x, state.box)
-
-    # ONE compiled block (rebuild + rebuild_every steps), reused for warmup
-    # and measurement — keeps compile cost to a single program.
+    eng = TiledEngine(ts, cfg)
     block_steps = cfg.rebuild_every
     run_block = jax.jit(eng.make_run(block_steps))
-    state, nbr, obs = run_block(state, nbr)
-    jax.block_until_ready(state.x)
-    log("compiled + warm block done")
-    for _ in range(2):  # extra warmup
-        state, nbr, obs = run_block(state, nbr)
-    jax.block_until_ready(state.x)
+    tst, ov, obs = run_block(tst)
+    jax.block_until_ready(tst.wx)
+    log("production compiled")
+    for _ in range(2):
+        tst, ov, obs = run_block(tst)
+    jax.block_until_ready(tst.wx)
 
-    n_blocks = 10
+    n_blocks = 25
     t0 = time.perf_counter()
     for _ in range(n_blocks):
-        state, nbr, obs = run_block(state, nbr)
-    jax.block_until_ready(state.x)
+        tst, ov, obs = run_block(tst)
+    jax.block_until_ready(tst.wx)
     wall = time.perf_counter() - t0
     n_meas = n_blocks * block_steps
+    ok = bool(jnp.isfinite(obs.h_conserved).all()) and not bool(ov)
     log(f"measured {n_meas} steps in {wall:.3f}s "
-        f"({1e3 * wall / n_meas:.2f} ms/step)")
+        f"({1e3 * wall / n_meas:.2f} ms/step) finite={ok} "
+        f"T={float(obs.temp[-1]):.0f}K lam={float(obs.lam[-1][0]):.3f}")
 
     ns_per_day = (n_meas * dt / 1.0e6) / (wall / 86400.0)
     result = {
-        "metric": f"constant-pH MD ns/day, {n_atoms}-atom solvated titratable "
-                  f"acid (rigid SPC/E, DSF coulomb, dt={dt}fs)",
+        "metric": f"constant-pH MD ns/day, {n_atoms}-atom solvated titratable"
+                  f" acid (rigid SPC/E, DSF coulomb, dt={dt}fs, TPU tiled"
+                  f" path)",
         "value": round(ns_per_day, 3),
         "unit": "ns/day",
         "vs_baseline": round(ns_per_day / BASELINE_NS_DAY, 3),

@@ -1,0 +1,228 @@
+"""Command-line driver (SURVEY.md layer D — the input-script analog).
+
+The reference's user API is one LAMMPS line:
+    fix <ID> <group> constant_pH <nevery> <groupH> <groupW> <pK> <pH> <T>
+(fix_constant_pH.cpp:36-54). Ours is a config file + CLI:
+
+    python -m constant_ph_tpu run sim.yaml          # or .json
+    python -m constant_ph_tpu titrate sim.yaml --ph 2,3,4,5,6,7
+
+Config keys (all optional beyond `system`):
+  system:   {builder: solvated_acid|water_box|solvated_polypeptide|lj_fluid,
+             <builder kwargs — incl. nevery-style lambda args, pK, pH, T>}
+  engine:   {dt, thermostat, T, gamma, tau, lambda_nevery,
+             lambda_thermostat, lambda_gamma, rebuild_every, force_cap}
+  bias:     {w, s, k, a, b, r, m, d, switch_slope}  (Donnini–Ullmann defaults)
+  kspace:   {alpha, accuracy}        (enables Ewald reciprocal space)
+  run:      {steps, minimize_steps, equilibrate_steps, tiled: bool,
+             checkpoint: path, restart: path, observe_every,
+             output: path.jsonl|path.csv}
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _load_config(path):
+    text = open(path).read()
+    if path.endswith((".yaml", ".yml")):
+        try:
+            import yaml
+            return yaml.safe_load(text)
+        except ImportError:
+            raise SystemExit("pyyaml not available — use a .json config")
+    return json.loads(text)
+
+
+_BUILDERS = {
+    "solvated_acid": "constant_ph_tpu.systems.water:solvated_acid",
+    "water_box": "constant_ph_tpu.systems.water:water_box",
+    "solvated_polypeptide": "constant_ph_tpu.systems.protein:solvated_polypeptide",
+    "lj_fluid": "constant_ph_tpu.systems.lj:lj_fluid",
+}
+
+
+def _build_system(spec: dict):
+    import importlib
+
+    name = spec.pop("builder")
+    mod, fn = _BUILDERS[name].split(":")
+    builder = getattr(importlib.import_module(mod), fn)
+    return builder(**spec)
+
+
+def _make_engines(cfg: dict, system):
+    import numpy as np
+
+    from constant_ph_tpu.engine import EngineConfig
+    from constant_ph_tpu.lambda_dyn import BiasParams
+
+    ecfg = EngineConfig(**cfg.get("engine", {}))
+    bias = BiasParams(**cfg.get("bias", {}))
+    kspace_ep = None
+    if "kspace" in cfg:
+        from constant_ph_tpu.ops.ewald import make_ewald_params
+
+        ks = cfg["kspace"]
+        kspace_ep = make_ewald_params(
+            np.asarray(system.state.box), ks["alpha"],
+            accuracy=ks.get("accuracy", 1e-4),
+        )
+    return ecfg, bias, kspace_ep
+
+
+def cmd_run(args):
+    import jax
+    import numpy as np
+
+    cfg = _load_config(args.config)
+    run_cfg = cfg.get("run", {})
+    tiled = run_cfg.get("tiled", True)
+    t0 = time.time()
+
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        system = _build_system(dict(cfg["system"]))
+        ecfg, bias, kspace_ep = _make_engines(cfg, system)
+        state = system.state
+        if run_cfg.get("restart"):
+            from constant_ph_tpu import checkpoint
+
+            state = checkpoint.load(run_cfg["restart"])
+            print(f"# restarted from {run_cfg['restart']} at step "
+                  f"{int(state.step)}", file=sys.stderr)
+
+    n_steps = int(run_cfg.get("steps", 1000))
+    observe_every = int(run_cfg.get("observe_every", 10))
+
+    if tiled and system.constraints is not None:
+        from constant_ph_tpu.tiled.engine import TiledEngine
+        from constant_ph_tpu.tiled.layout import (
+            split_system, to_canonical, to_tiled,
+        )
+
+        with jax.default_device(cpu):
+            ts = split_system(system)
+            tst = to_tiled(ts, state)
+        tst = jax.device_put(tst, jax.devices()[0])
+        eng = TiledEngine(ts, ecfg, bias=bias, kspace_ep=kspace_ep)
+        if run_cfg.get("minimize_steps", 200):
+            tst, e = jax.jit(
+                eng.make_minimize(int(run_cfg.get("minimize_steps", 200)))
+            )(tst)
+            print(f"# minimized to E={float(e[-1]):.1f}", file=sys.stderr)
+        tst, overflow, obs = eng.run(tst, n_steps)
+        state = to_canonical(ts, tst)
+        if bool(overflow):
+            print("# WARNING: tile overflow during run", file=sys.stderr)
+    else:
+        from constant_ph_tpu.minimize import fire_minimize
+
+        eng = system.make_engine(ecfg, bias=bias)
+        if run_cfg.get("minimize_steps", 200):
+            state, _ = fire_minimize(
+                eng, state, n_steps=int(run_cfg.get("minimize_steps", 200)))
+        state, nbr, obs = eng.run(state, n_steps)
+
+    if run_cfg.get("checkpoint"):
+        from constant_ph_tpu import checkpoint
+
+        checkpoint.save(run_cfg["checkpoint"], state)
+        print(f"# checkpoint -> {run_cfg['checkpoint']}", file=sys.stderr)
+
+    from constant_ph_tpu import observables as obsmod
+
+    out = run_cfg.get("output")
+    if out:
+        with open(out, "w") as fh:
+            if out.endswith(".csv"):
+                obsmod.write_csv(obs, fh, every=observe_every)
+            else:
+                obsmod.write_jsonl(obs, fh, every=observe_every)
+        print(f"# observables -> {out}", file=sys.stderr)
+
+    lam = np.asarray(obs.lam)
+    summary = {
+        "steps": n_steps,
+        "wall_s": round(time.time() - t0, 2),
+        "e_pot": float(np.asarray(obs.e_pot)[-1]),
+        "temp": float(np.asarray(obs.temp)[-100:].mean()),
+    }
+    if lam.size:
+        summary["protonation_fraction"] = (
+            obsmod.protonation_fraction(lam).tolist())
+        summary["lambda_final"] = lam[-1].tolist()
+    print(json.dumps(summary))
+
+
+def cmd_titrate(args):
+    """pH sweep via replica exchange on whatever devices are available."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    cfg = _load_config(args.config)
+    pHs = [float(p) for p in args.ph.split(",")]
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        system = _build_system(dict(cfg["system"]))
+        ecfg, bias, _ = _make_engines(cfg, system)
+
+    from constant_ph_tpu.observables import hh_curve
+    from constant_ph_tpu.parallel.replica import (
+        make_rex_runner, stack_replicas,
+    )
+
+    eng = system.make_engine(ecfg, bias=bias)
+    states = []
+    for i, ph in enumerate(pHs):
+        states.append(system.state.replace(
+            pH=jnp.asarray(ph, system.state.pH.dtype),
+            key=jax.random.PRNGKey(i),
+        ))
+    batched = stack_replicas(states)
+    nbr = eng.build_neighbors(system.state.x, system.state.box)
+    nbrs = jax.tree.map(
+        lambda a: jnp.broadcast_to(a[None], (len(pHs),) + a.shape), nbr)
+
+    steps_per_swap = int(cfg.get("run", {}).get("steps_per_swap", 100))
+    n_swaps = int(cfg.get("run", {}).get("n_swaps", 20))
+    block = jax.jit(make_rex_runner(eng, steps_per_swap))
+    key = jax.random.PRNGKey(0)
+    frac = np.zeros((len(pHs),))
+    acc = 0.0
+    for s in range(n_swaps):
+        batched, nbrs, key, accepted, obs = block(batched, nbrs, key, s % 2)
+        frac += np.asarray(jnp.mean((obs.lam > 0.5).astype(jnp.float32),
+                                    axis=-1))
+        acc += float(jnp.mean(accepted))
+    frac /= n_swaps
+    out = {
+        "pH": pHs,
+        "deprotonated_fraction": frac.tolist(),
+        "hh_reference": hh_curve(
+            float(np.asarray(system.spec.pK)[0]), np.asarray(pHs)).tolist(),
+        "swap_acceptance": acc / n_swaps,
+    }
+    print(json.dumps(out))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="constant_ph_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    p_run = sub.add_parser("run", help="run an MD simulation from a config")
+    p_run.add_argument("config")
+    p_run.set_defaults(fn=cmd_run)
+    p_t = sub.add_parser("titrate", help="pH replica-exchange titration sweep")
+    p_t.add_argument("config")
+    p_t.add_argument("--ph", required=True, help="comma-separated pH values")
+    p_t.set_defaults(fn=cmd_titrate)
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

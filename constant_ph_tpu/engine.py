@@ -58,6 +58,15 @@ class EngineConfig:
     lambda_gamma: float = struct.field(pytree_node=False, default=0.005)
     lambda_tau: float = struct.field(pytree_node=False, default=200.0)
     rebuild_every: int = struct.field(pytree_node=False, default=20)
+    # per-atom force-norm cap in kcal/mol/Å (0 = off) — the LAMMPS
+    # nve/limit-style equilibration guard for clashed starting configs
+    force_cap: float = struct.field(pytree_node=False, default=0.0)
+    # reflective λ backstop walls: beyond the erf bias walls the wall force
+    # vanishes (exp underflow) and a large transient dU/dλ could eject λ;
+    # reflection far outside [0,1] is ensemble-neutral (never thermally
+    # reached) but guarantees boundedness
+    lam_min: float = struct.field(pytree_node=False, default=-0.5)
+    lam_max: float = struct.field(pytree_node=False, default=1.5)
 
 
 @struct.dataclass
@@ -226,6 +235,14 @@ class Engine:
         active = ((step + offset) % nev) == 0
         return jnp.where(active, float(nev), 0.0)
 
+    def _reflect_lam(self, lam, v_lam):
+        lo, hi = self.cfg.lam_min, self.cfg.lam_max
+        below = lam < lo
+        above = lam > hi
+        lam = jnp.where(below, 2.0 * lo - lam, jnp.where(above, 2.0 * hi - lam, lam))
+        v_lam = jnp.where(below | above, -v_lam, v_lam)
+        return lam, v_lam
+
     def step(self, state: SystemState, frc: Forces, nbr: NeighborList):
         """One BAOAB/VV/NHC step for atoms and λ. Returns (state', frc')."""
         cfg = self.cfg
@@ -286,6 +303,7 @@ class Engine:
         x = x + (0.5 * dt) * v
         if has_lam:
             lam = lam + (0.5 * dt) * v_lam
+            lam, v_lam = self._reflect_lam(lam, v_lam)
 
         # constraints (rigid water etc.): SHAKE positions onto the manifold
         if self.constraints is not None:

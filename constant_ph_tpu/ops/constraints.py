@@ -36,7 +36,9 @@ def _solve3(A, b):
     c01 = a12 * a20 - a10 * a22
     c02 = a10 * a21 - a11 * a20
     det = a00 * c00 + a01 * c01 + a02 * c02
-    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-20, det, 1e-20)
+    # degenerate system (violently distorted molecule): return zero update
+    # instead of a huge one — the caller's next iteration/step recovers
+    inv_det = jnp.where(jnp.abs(det) > 1e-6, 1.0 / det, 0.0)
     b0, b1, b2 = b[..., 0], b[..., 1], b[..., 2]
     x0 = (b0 * c00 + b1 * (a02 * a21 - a01 * a22)
           + b2 * (a01 * a12 - a02 * a11)) * inv_det
@@ -45,6 +47,67 @@ def _solve3(A, b):
     x2 = (b0 * c02 + b1 * (a01 * a20 - a00 * a21)
           + b2 * (a00 * a11 - a01 * a10)) * inv_det
     return jnp.stack([x0, x1, x2], axis=-1)
+
+
+# NOTE: these cores deliberately avoid einsum/matmul — TPU matmuls run at
+# bf16 precision by default, which breaks SHAKE convergence (measured ~5e-3
+# error per contraction). The incidence matrix C is ±1/0, so everything is
+# plain differences and elementwise products (exact f32 on the VPU).
+
+
+def _bond_vectors(xm):
+    """(M,3atoms,3) → (M,3constraints,3): rows (0-1, 0-2, 1-2) of _C."""
+    return jnp.stack(
+        [xm[..., 0, :] - xm[..., 1, :],
+         xm[..., 0, :] - xm[..., 2, :],
+         xm[..., 1, :] - xm[..., 2, :]], axis=-2)
+
+
+def _gram(a, b):
+    """A[m,c,d] = Σ_x a[m,c,x]·b[m,d,x] without MXU (exact f32)."""
+    return jnp.sum(a[..., :, None, :] * b[..., None, :, :], axis=-1)
+
+
+def _apply_ct(k, s, inv_m):
+    """dx[m,t,x] = (1/m_t) Σ_c k_c C[c,t] s[m,c,x] with C = ±1/0 rows."""
+    k0 = k[..., 0:1]
+    k1 = k[..., 1:2]
+    k2 = k[..., 2:3]
+    dx0 = k0 * s[..., 0, :] + k1 * s[..., 1, :]
+    dx1 = -k0 * s[..., 0, :] + k2 * s[..., 2, :]
+    dx2 = -k1 * s[..., 1, :] - k2 * s[..., 2, :]
+    return inv_m[..., None] * jnp.stack([dx0, dx1, dx2], axis=-2)
+
+
+def mshake_delta(xm0, xr, inv_m, W, C, d2, n_newton):
+    """M-SHAKE core: displacement that puts (M,3,3) molecule coords onto
+    the constraint manifold along reference bond directions."""
+    s_ref = _bond_vectors(xr)
+
+    def newton(_, xm):
+        s = _bond_vectors(xm)
+        g = 0.5 * (jnp.sum(s * s, axis=-1) - d2)
+        A = W * _gram(s, s_ref)
+        k = _solve3(A, -g)
+        dx = _apply_ct(k, s_ref, inv_m)
+        # trust region: a near-singular geometry must not catapult atoms
+        norm = jnp.sqrt(jnp.sum(dx * dx, axis=-1, keepdims=True) + 1e-20)
+        dx = dx * jnp.minimum(1.0, 0.5 / norm)
+        return xm + dx
+
+    xm = jax.lax.fori_loop(0, n_newton, newton, xm0)
+    return xm - xm0
+
+
+def mrattle_dv(xm, vm, inv_m, W, C):
+    """M-RATTLE core: velocity change removing constraint-direction
+    components for (M,3,3) molecules."""
+    s = _bond_vectors(xm)
+    sv = _bond_vectors(vm)
+    jv = jnp.sum(s * sv, axis=-1)
+    A = W * _gram(s, s)
+    k = _solve3(A, -jv)
+    return _apply_ct(k, s, inv_m)
 
 
 class RigidTriatomic:
@@ -91,19 +154,7 @@ class RigidTriatomic:
 
         xm0 = self._gather_local(x, box)      # (M, 3atoms, 3xyz)
         xr = self._gather_local(x_ref, box)
-        s_ref = jnp.einsum("ct,mtx->mcx", C, xr)   # (M, 3con, 3xyz)
-
-        def newton(_, xm):
-            s = jnp.einsum("ct,mtx->mcx", C, xm)
-            g = 0.5 * (jnp.sum(s * s, axis=-1) - d2)      # (M, 3)
-            A = W * jnp.einsum("mcx,mdx->mcd", s, s_ref)  # (M, 3, 3)
-            k = _solve3(A, -g)
-            # dx_t = (1/m_t) Σ_c k_c C[c,t] s_ref_c
-            dx = inv_m[..., None] * jnp.einsum("mc,ct,mcx->mtx", k, C, s_ref)
-            return xm + dx
-
-        xm = jax.lax.fori_loop(0, self.n_newton, newton, xm0)
-        delta = xm - xm0
+        delta = mshake_delta(xm0, xr, inv_m, W, C, d2, self.n_newton)
         flat = self.triplets.reshape(-1)
         x = x.at[flat].add(delta.reshape(-1, 3))
         v = v.at[flat].add(delta.reshape(-1, 3) / dt)
@@ -119,10 +170,6 @@ class RigidTriatomic:
 
         xm = self._gather_local(x, box)
         vm = v[self.triplets]                      # (M, 3, 3)
-        s = jnp.einsum("ct,mtx->mcx", C, xm)
-        jv = jnp.einsum("mcx,ct,mtx->mc", s, C, vm)
-        A = W * jnp.einsum("mcx,mdx->mcd", s, s)
-        k = _solve3(A, -jv)
-        dv = inv_m[..., None] * jnp.einsum("mc,ct,mcx->mtx", k, C, s)
+        dv = mrattle_dv(xm, vm, inv_m, W, C)
         flat = self.triplets.reshape(-1)
         return v.at[flat].add(dv.reshape(-1, 3))

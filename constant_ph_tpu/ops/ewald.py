@@ -99,12 +99,11 @@ def make_ewald_params(
     )
 
 
-def _phase_tables(x, ep: EwaldParams):
-    """Per-dimension complex phase tables Ex, Ey, Ez as (cos, sin) pairs."""
+def _phase_tables_xd(xd, ep: EwaldParams):
+    """Per-dimension complex phase tables from a tuple of (M,) coords."""
     out = []
     for d, k in enumerate((ep.kx, ep.ky, ep.kz)):
-        xd = jax.lax.index_in_dim(x, d, axis=1, keepdims=False)  # (N,)
-        ang = xd[:, None] * k[None, :]                            # (N, Md)
+        ang = xd[d][:, None] * k[None, :]                         # (M, Md)
         out.append((jnp.cos(ang), jnp.sin(ang)))
     return out
 
@@ -114,9 +113,19 @@ def ewald_recip(x, q, ep: EwaldParams):
 
     Returns (E, F(N,3), phi(N,), eatom(N,)).
     """
-    n = x.shape[0]
-    dtype = x.dtype
-    (exr, exi), (eyr, eyi), (ezr, ezi) = _phase_tables(x, ep)
+    xd = tuple(
+        jax.lax.index_in_dim(x, d, axis=1, keepdims=False) for d in range(3)
+    )
+    e, (fx, fy, fz), phi, eatom = ewald_recip_xd(xd, q, ep)
+    force = jnp.stack([fx, fy, fz], axis=-1)
+    return e, force, phi, eatom
+
+
+def ewald_recip_xd(xd, q, ep: EwaldParams):
+    """Same as ewald_recip but on a tuple of 3 per-dim (M,) coordinate
+    arrays (the layout the tiled path uses). Returns per-dim force tuple."""
+    dtype = q.dtype
+    (exr, exi), (eyr, eyi), (ezr, ezi) = _phase_tables_xd(xd, ep)
 
     # fused yz phase table T1 = Ey ⊙ Ez, gathered to (N, My·Mz)
     ar, ai = eyr[:, ep.ky_idx], eyi[:, ep.ky_idx]
@@ -127,9 +136,13 @@ def ewald_recip(x, q, ep: EwaldParams):
     # S[nx, yz] = Σ_i q_i Ex[i,nx] T1[i,yz]   (4 real MXU matmuls)
     qexr = q[:, None] * exr
     qexi = q[:, None] * exi
+    # HIGHEST precision: TPU matmuls default to bf16 passes, which is far
+    # too coarse for force accuracy; HIGHEST synthesizes full f32
     f32 = jnp.float32
+    hi = jax.lax.Precision.HIGHEST
     mm = lambda a, b: jax.lax.dot_general(
-        a, b, (((0,), (0,)), ((), ())), preferred_element_type=f32
+        a, b, (((0,), (0,)), ((), ())), preferred_element_type=f32,
+        precision=hi,
     )
     sr = mm(qexr, t1r) - mm(qexi, t1i)      # (Mx, MyMz)
     si = mm(qexr, t1i) + mm(qexi, t1r)
@@ -142,7 +155,8 @@ def ewald_recip(x, q, ep: EwaldParams):
     ky_yz = ep.ky[ep.ky_idx]                # (MyMz,)
     kz_yz = ep.kz[ep.kz_idx]
     mmT = lambda a, b: jax.lax.dot_general(
-        a, b, (((1,), (1,)), ((), ())), preferred_element_type=f32
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=f32,
+        precision=hi,
     )  # (N, MyMz) @ (Mx, MyMz)^T -> (N, Mx)
 
     def contract(gr, gi):
@@ -164,7 +178,6 @@ def ewald_recip(x, q, ep: EwaldParams):
     fy = 2.0 * q * jnp.sum(exr * wyi + exi * wyr, axis=1)
     wzr, wzi = contract(kz_yz[None, :] * gr0, kz_yz[None, :] * gi0)
     fz = 2.0 * q * jnp.sum(exr * wzi + exi * wzr, axis=1)
-    force = jnp.stack([fx, fy, fz], axis=-1)
 
     # self energy + neutralizing background
     C = units.QQR2E
@@ -176,7 +189,12 @@ def ewald_recip(x, q, ep: EwaldParams):
 
     e_total = e_rec + e_self + e_bg
     eatom = 0.5 * q * phi
-    return e_total, force.astype(dtype), phi.astype(dtype), eatom.astype(dtype)
+    return (
+        e_total,
+        (fx.astype(dtype), fy.astype(dtype), fz.astype(dtype)),
+        phi.astype(dtype),
+        eatom.astype(dtype),
+    )
 
 
 def make_kspace_fn(ep: EwaldParams):

@@ -30,10 +30,9 @@ from flax import struct
 from constant_ph_tpu import units
 from constant_ph_tpu.forcefield import PairParams
 from constant_ph_tpu.neighbors import NeighborList
+from constant_ph_tpu.ops.kernels import R2_MIN as _R2_MIN
+from constant_ph_tpu.ops.kernels import coul_kernel
 from constant_ph_tpu.state import min_image
-
-_TWO_OVER_SQRT_PI = 1.1283791670955126
-_R2_MIN = 1.0e-4  # (0.01 Å)² floor: keeps r⁻¹² finite in f32 for any input
 
 
 @struct.dataclass
@@ -95,39 +94,15 @@ def pair_forces(
     e_lj_pair = e_lj_pair * wlj
     f_lj = f_lj * wlj
 
-    # Coulomb (cut or Ewald real space) with special/exclusion compensation
+    # Coulomb via the shared kernel (ops/kernels.py): cut / Ewald-real /
+    # DSF semantics incl. special-pair handling
     qi = q[:, None]
     qj = q[jc]
     in_c = (r2 < pp.coul_cutoff * pp.coul_cutoff).astype(dtype)
-    alpha = pp.alpha
-    if alpha > 0.0:
-        ar = alpha * r
-        erfc_ar = jax.scipy.special.erfc(ar)
-        gauss = _TWO_OVER_SQRT_PI * ar * jnp.exp(-ar * ar)
-    else:
-        erfc_ar = jnp.ones_like(r)
-        gauss = jnp.zeros_like(r)
-    # screening factor: erfc − (1 − s). When a pair is excluded (s=0) under
-    # Ewald this subtracts the erf part that reciprocal space adds back.
-    screen_e = erfc_ar - (1.0 - scoul)
-    screen_f = erfc_ar + gauss - (1.0 - scoul)
-    # per-charge-pair potential kernels u(r) and (−du/dr)/r
-    u_r = screen_e / r
-    w_r = screen_f * inv_r2 / r
-    if pp.coul_style == "dsf":
-        # damped-shifted-force: u and du/dr both vanish at the cutoff
-        # (Fennell & Gezelter; LAMMPS coul/dsf). Shift constants are static.
-        import math
-
-        rc = pp.coul_cutoff
-        erfc_rc = math.erfc(alpha * rc)
-        e_sh = erfc_rc / rc
-        f_sh = erfc_rc / rc**2 + (
-            _TWO_OVER_SQRT_PI * alpha * math.exp(-((alpha * rc) ** 2)) / rc
-        )
-        # shifts apply only to the retained fraction s of the interaction
-        u_r = u_r - scoul * (e_sh - f_sh * (r - rc))
-        w_r = w_r - scoul * f_sh / r
+    u_r, w_r = coul_kernel(
+        r2, r, inv_r2, scoul,
+        alpha=pp.alpha, style=pp.coul_style, rc=pp.coul_cutoff,
+    )
     kqq = units.QQR2E * qi * qj
     e_c_pair = kqq * u_r * in_c
     f_c = kqq * w_r * in_c

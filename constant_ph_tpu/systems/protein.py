@@ -141,7 +141,7 @@ def solvated_polypeptide(
     geo = _water_geometry() - _water_geometry().mean(axis=0)
     rots = _random_rotations(n_wat, rng)
     wat_x = sites[:, None, :] + np.einsum("mij,aj->mai", rots, geo)
-    wat_x += rng.normal(scale=0.04, size=wat_x.shape)
+    wat_x += rng.normal(scale=0.04, size=(n_wat, 1, 3))
 
     x = np.concatenate([prot_x, wat_x.reshape(-1, 3)])
     n = x.shape[0]

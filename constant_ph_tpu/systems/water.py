@@ -115,7 +115,9 @@ def solvated_acid(
     geo = _water_geometry() - _water_geometry().mean(axis=0)
     rots = _random_rotations(n_wat, rng)
     wat_x = wat_sites[:, None, :] + np.einsum("mij,aj->mai", rots, geo)
-    wat_x += rng.normal(scale=0.05, size=wat_x.shape)
+    # jitter per MOLECULE (rigid-body translation): per-atom jitter would
+    # violate the rigid constraints at t=0
+    wat_x += rng.normal(scale=0.05, size=(n_wat, 1, 3))
 
     acid_x = _acid_geometry() - _acid_geometry().mean(axis=0) + acid_site
 

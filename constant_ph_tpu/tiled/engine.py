@@ -1,0 +1,468 @@
+"""TiledEngine: the TPU hot-path engine (same physics as engine.Engine).
+
+One jitted step over TiledState: roll-stencil pair blocks, factorized
+Ewald, λ-dynamics with exact dU/dλ, BAOAB/VV/NHC integration, tile-regular
+SHAKE water — zero scalar gathers per step except the (small) solute
+bonded/constraint index lookups. Validated against engine.Engine (the
+semantic reference) in tests/test_tiled.py.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from constant_ph_tpu import lambda_dyn, units
+from constant_ph_tpu.engine import EngineConfig, Observables
+from constant_ph_tpu.integrators import nhc_halfstep
+from constant_ph_tpu.lambda_dyn import BiasParams
+from constant_ph_tpu.ops.bonded import bonded_forces
+from constant_ph_tpu.ops.ewald import EwaldParams, ewald_recip_xd
+from constant_ph_tpu.tiled import forces as tforces
+from constant_ph_tpu.tiled.layout import (
+    TiledState,
+    TiledSystem,
+    rebin,
+)
+from constant_ph_tpu.tiled.shake import TiledWaterShake
+
+
+@struct.dataclass
+class TiledForces:
+    fw: jax.Array     # (3, G, 3W)
+    fs: jax.Array     # (Ns, 3)
+    f_lam: jax.Array
+    e_lj: jax.Array
+    e_coul: jax.Array
+    e_bonded: jax.Array
+    e_kspace: jax.Array
+    e_site: jax.Array
+    eatom_w: jax.Array  # (G, 3W)
+    eatom_s: jax.Array  # (Ns,)
+    phi_s: jax.Array
+    dUdlam: jax.Array
+
+    @property
+    def e_pot(self):
+        return (self.e_lj + self.e_coul + self.e_bonded + self.e_kspace
+                + self.e_site)
+
+
+class TiledEngine:
+    def __init__(
+        self,
+        tsys: TiledSystem,
+        config: EngineConfig = EngineConfig(),
+        bias: BiasParams = BiasParams(),
+        kspace_ep: Optional[EwaldParams] = None,
+    ):
+        self.ts = tsys
+        self.cfg = config
+        self.bias = bias
+        self.kspace_ep = kspace_ep
+        self.shake = TiledWaterShake(tsys.water, tsys.params)
+        p = tsys.params
+        self.grid = p.grid
+        self.W = p.W
+        self.G = p.G
+        wm = tsys.water
+        self.wmass = jnp.asarray(
+            np.tile(wm.mass_pattern, p.W), dtype=jnp.float32)   # (3W,)
+        self.wq_pat = jnp.asarray(
+            np.tile(wm.q_pattern, p.W), dtype=jnp.float32)
+        self.n_waters = tsys.water_atom_ids.shape[0]
+        self.ns_real = len(tsys.solute_ids)
+        self.n_sites = 0 if tsys.spec is None else tsys.spec.n_sites
+        n_buf_cons = (tsys.solute_constraints.n_constraints
+                      if tsys.solute_constraints is not None else 0)
+        self.ndof = (3 * (3 * self.n_waters + self.ns_real) - 3
+                     - 3 * self.n_waters - n_buf_cons)
+        self.e_corr = 0.0
+        if kspace_ep is not None:
+            self.e_corr = tforces.water_intra_ewald_correction(
+                wm, self.n_waters, kspace_ep.alpha)
+
+    # -- forces ---------------------------------------------------------------
+
+    def charges_solute(self, lam):
+        ts = self.ts
+        if ts.spec is None:
+            return ts.solute.q0
+        return lambda_dyn.charges(ts.solute.q0, ts.spec, lam)
+
+    def compute_forces(self, st: TiledState) -> TiledForces:
+        ts = self.ts
+        p = ts.params
+        gx, gy, gz = p.grid
+        W = p.W
+        box = st.box
+        style, alpha, rc = ts.coul_style, ts.alpha, ts.cutoff
+
+        wxg = st.wx.reshape(3, gx, gy, gz, 3 * W)
+        wvg = st.wvalid.reshape(gx, gy, gz, W)
+
+        e_lj_ww, e_c_ww, f_ww, eatom_ww, phi_ww = tforces.water_water(
+            wxg, wvg, ts.water, p, box, style=style, alpha=alpha, rc=rc)
+
+        qs = self.charges_solute(st.lam)
+        (e_lj_ws, e_c_ws, f_w_ws, f_s_ws, eatom_w_ws, eatom_s_ws,
+         phi_w_ws, phi_s_ws) = tforces.water_solute(
+            wxg, wvg, st.sx, qs, ts.solute, ts.water, p, box,
+            style=style, alpha=alpha, rc=rc)
+
+        e_lj_ss, e_c_ss, f_ss, eatom_ss, phi_ss = tforces.solute_solute(
+            st.sx, qs, ts.solute, box, style=style, alpha=alpha, rc=rc)
+
+        fw = jnp.stack(
+            [f_ww[d] + f_w_ws[d] for d in range(3)], axis=0
+        ).reshape(3, self.G, 3 * W)
+        fs = f_s_ws + f_ss
+        eatom_w = (eatom_ww + eatom_w_ws).reshape(self.G, 3 * W)
+        eatom_s = eatom_s_ws + eatom_ss
+        phi_s = phi_s_ws + phi_ss
+
+        e_bonded = jnp.zeros((), st.sx.dtype)
+        if ts.bonded is not None and int(ts.bonded.bond_idx.shape[0]):
+            eb, fb, eatom_b = bonded_forces(st.sx, box, ts.bonded)
+            e_bonded = eb
+            fs = fs + fb
+            eatom_s = eatom_s + eatom_b
+
+        e_kspace = jnp.zeros((), st.sx.dtype)
+        if self.kspace_ep is not None:
+            vm_atoms = jnp.repeat(st.wvalid, 3, axis=-1)       # (G, 3W)
+            qw = (self.wq_pat[None, :] * vm_atoms).reshape(-1)
+            q_all = jnp.concatenate([qw, qs * ts.solute.smask])
+            xd = tuple(
+                jnp.concatenate([st.wx[d].reshape(-1), st.sx[:, d]])
+                for d in range(3)
+            )
+            ek, fk, phik, eatomk = ewald_recip_xd(xd, q_all, self.kspace_ep)
+            nw_flat = self.G * 3 * W
+            fw = fw + jnp.stack(
+                [(fk[d][:nw_flat]).reshape(self.G, 3 * W) for d in range(3)]
+            ) * vm_atoms[None].reshape(1, self.G, 3 * W)
+            fs = fs + jnp.stack(
+                [fk[d][nw_flat:] for d in range(3)], axis=-1)
+            phi_s = phi_s + phik[nw_flat:]
+            eatom_w = eatom_w + eatomk[:nw_flat].reshape(self.G, 3 * W)
+            eatom_s = eatom_s + eatomk[nw_flat:]
+            e_kspace = ek + self.e_corr
+
+        if ts.spec is not None:
+            dUdlam = lambda_dyn.dq_dlambda_dot(ts.spec, phi_s)
+            f_lam, u_site = lambda_dyn.lambda_force(
+                st.lam, dUdlam, ts.spec, st.pH, self.cfg.T, self.bias)
+            e_site = jnp.sum(u_site)
+        else:
+            dUdlam = jnp.zeros((0,), st.sx.dtype)
+            f_lam = jnp.zeros((0,), st.sx.dtype)
+            e_site = jnp.zeros((), st.sx.dtype)
+
+        return TiledForces(
+            fw=fw, fs=fs, f_lam=f_lam,
+            e_lj=e_lj_ww + e_lj_ws + e_lj_ss,
+            e_coul=e_c_ww + e_c_ws + e_c_ss,
+            e_bonded=e_bonded, e_kspace=e_kspace, e_site=e_site,
+            eatom_w=eatom_w, eatom_s=eatom_s, phi_s=phi_s, dUdlam=dUdlam,
+        )
+
+    # -- diagnostics ------------------------------------------------------------
+
+    def kinetic_energy(self, st: TiledState):
+        vm_atoms = jnp.repeat(st.wvalid, 3, axis=-1)
+        ke_w = 0.5 * units.MVV2E * jnp.sum(
+            self.wmass[None, None, :] * st.wv * st.wv
+            * vm_atoms[None, :, :])
+        ke_s = 0.5 * units.MVV2E * jnp.sum(
+            self.ts.solute.mass[:, None] * st.sv * st.sv
+            * self.ts.solute.smask[:, None])
+        return ke_w + ke_s
+
+    def observe(self, st: TiledState, frc: TiledForces) -> Observables:
+        ke = self.kinetic_energy(st)
+        temp = 2.0 * ke / (self.ndof * units.BOLTZ)
+        if self.ts.spec is not None:
+            ke_lam = lambda_dyn.lambda_kinetic(st.v_lam, self.ts.spec)
+            temp_lam = lambda_dyn.lambda_temperature(st.v_lam, self.ts.spec)
+        else:
+            ke_lam = jnp.zeros((), st.sx.dtype)
+            temp_lam = jnp.zeros((), st.sx.dtype)
+        return Observables(
+            e_pot=frc.e_pot, e_lj=frc.e_lj, e_coul=frc.e_coul,
+            e_bonded=frc.e_bonded, e_kspace=frc.e_kspace, e_site=frc.e_site,
+            ke=ke, temp=temp, ke_lam=ke_lam, temp_lam=temp_lam,
+            h_conserved=frc.e_pot + ke + ke_lam,
+            lam=st.lam, v_lam=st.v_lam, dUdlam=frc.dUdlam,
+        )
+
+    def compute_Hs(self, st: TiledState, frc: Optional[TiledForces] = None):
+        """Reference-parity HA/HB eatom diagnostic (fix_constant_pH.cpp:
+        177-280): HA = Σ eatom, HB excludes the titratable-H group."""
+        if frc is None:
+            frc = self.compute_forces(st)
+        vm_atoms = jnp.repeat(st.wvalid, 3, axis=-1)
+        HA = (jnp.sum(frc.eatom_w * vm_atoms)
+              + jnp.sum(frc.eatom_s * self.ts.solute.smask))
+        HB = HA - jnp.sum(jnp.where(self.ts.groupH_mask, frc.eatom_s, 0.0))
+        return HA, HB
+
+    # -- integration ------------------------------------------------------------
+
+    def _lam_kick_scale(self, step, offset):
+        nev = self.cfg.lambda_nevery
+        if nev <= 1 or self.ts.spec is None:
+            return 1.0
+        active = ((step + offset) % nev) == 0
+        return jnp.where(active, float(nev), 0.0)
+
+    def _reflect_lam(self, lam, v_lam):
+        lo, hi = self.cfg.lam_min, self.cfg.lam_max
+        below = lam < lo
+        above = lam > hi
+        lam = jnp.where(below, 2.0 * lo - lam,
+                        jnp.where(above, 2.0 * hi - lam, lam))
+        v_lam = jnp.where(below | above, -v_lam, v_lam)
+        return lam, v_lam
+
+    def _cap_forces(self, frc: TiledForces) -> TiledForces:
+        cap = self.cfg.force_cap
+        if cap <= 0.0:
+            return frc
+        wnorm = jnp.sqrt(jnp.sum(frc.fw * frc.fw, axis=0, keepdims=True)
+                         + 1e-12)
+        fw = frc.fw * jnp.minimum(1.0, cap / wnorm)
+        snorm = jnp.sqrt(jnp.sum(frc.fs * frc.fs, axis=-1, keepdims=True)
+                         + 1e-12)
+        fs = frc.fs * jnp.minimum(1.0, cap / snorm)
+        return frc.replace(fw=fw, fs=fs)
+
+    def step(self, st: TiledState, frc: TiledForces):
+        cfg = self.cfg
+        ts = self.ts
+        dt = cfg.dt
+        dtype = st.sx.dtype
+        has_lam = ts.spec is not None
+        frc = self._cap_forces(frc)
+
+        vm_atoms = jnp.repeat(st.wvalid, 3, axis=-1)[None]   # (1, G, 3W)
+        inv_mw = (units.FTM2V / self.wmass)[None, None, :]
+        inv_ms = units.FTM2V / ts.solute.mass[:, None]
+        if has_lam:
+            inv_ml = units.FTM2V / ts.spec.m_lambda
+
+        key = st.key
+        wv, sv, v_lam = st.wv, st.sv, st.v_lam
+        wx, sx, lam = st.wx, st.sx, st.lam
+
+        use_nhc = cfg.thermostat == "nhc"
+        nhc_xi, nhc_lam_xi = st.nhc_xi, st.nhc_lam_xi
+        kT = units.BOLTZ * cfg.T
+
+        if use_nhc:
+            ke2 = 2.0 * self.kinetic_energy(st)
+            scale, nhc_xi = nhc_halfstep(nhc_xi, ke2, self.ndof, kT,
+                                         cfg.tau, dt)
+            wv = wv * scale
+            sv = sv * scale
+        if has_lam and cfg.lambda_thermostat == "nhc":
+            scale_l, nhc_lam_xi = nhc_halfstep(
+                nhc_lam_xi, 2.0 * lambda_dyn.lambda_kinetic(v_lam, ts.spec),
+                self.n_sites, kT, cfg.lambda_tau, dt)
+            v_lam = v_lam * scale_l
+
+        # B
+        wv = wv + (0.5 * dt) * frc.fw * inv_mw * vm_atoms
+        sv = sv + (0.5 * dt) * frc.fs * inv_ms
+        if has_lam:
+            k1 = self._lam_kick_scale(st.step, 0)
+            v_lam = v_lam + (0.5 * dt) * k1 * frc.f_lam * inv_ml
+
+        if cfg.thermostat == "langevin" or (
+            has_lam and cfg.lambda_thermostat == "langevin"
+        ):
+            key, kw, ks_, kl = jax.random.split(key, 4)
+
+        # A
+        wx = wx + (0.5 * dt) * wv
+        sx = sx + (0.5 * dt) * sv
+        if has_lam:
+            lam = lam + (0.5 * dt) * v_lam
+
+        # O (Langevin OU)
+        if cfg.thermostat == "langevin":
+            c1 = jnp.exp(-cfg.gamma * dt)
+            sig_w = jnp.sqrt((1.0 - c1 * c1) * kT
+                             / (self.wmass * units.MVV2E))[None, None, :]
+            wv = c1 * wv + sig_w * vm_atoms * jax.random.normal(
+                kw, wv.shape, dtype=dtype)
+            sig_s = jnp.sqrt((1.0 - c1 * c1) * kT
+                             / (ts.solute.mass * units.MVV2E))[:, None]
+            sv = c1 * sv + sig_s * ts.solute.smask[:, None] \
+                * jax.random.normal(ks_, sv.shape, dtype=dtype)
+        if has_lam and cfg.lambda_thermostat == "langevin":
+            c1l = jnp.exp(-cfg.lambda_gamma * dt)
+            sig_l = jnp.sqrt((1.0 - c1l * c1l) * kT
+                             / (ts.spec.m_lambda * units.MVV2E))
+            v_lam = c1l * v_lam + sig_l * jax.random.normal(
+                kl, v_lam.shape, dtype=dtype)
+
+        # A
+        wx = wx + (0.5 * dt) * wv
+        sx = sx + (0.5 * dt) * sv
+        if has_lam:
+            lam = lam + (0.5 * dt) * v_lam
+            lam, v_lam = self._reflect_lam(lam, v_lam)
+
+        # SHAKE water (tiled, regular) + buffer-water solute constraints
+        wx, wv = self.shake.positions(st.wx, wx, wv, st.box, dt, st.wvalid)
+        if ts.solute_constraints is not None:
+            sx, sv = ts.solute_constraints.positions(st.sx, sx, sv, st.box, dt)
+
+        st_new = st.replace(wx=wx, sx=sx, lam=lam)
+        frc_new = self.compute_forces(st_new)
+        frc_capped = self._cap_forces(frc_new)
+
+        # B
+        wv = wv + (0.5 * dt) * frc_capped.fw * inv_mw * vm_atoms
+        sv = sv + (0.5 * dt) * frc_capped.fs * inv_ms
+        if has_lam:
+            k2 = self._lam_kick_scale(st.step, 1)
+            v_lam = v_lam + (0.5 * dt) * k2 * frc_new.f_lam * inv_ml
+
+        if use_nhc:
+            st_tmp = st.replace(wv=wv, sv=sv)
+            ke2 = 2.0 * self.kinetic_energy(st_tmp)
+            scale, nhc_xi = nhc_halfstep(nhc_xi, ke2, self.ndof, kT,
+                                         cfg.tau, dt)
+            wv = wv * scale
+            sv = sv * scale
+        if has_lam and cfg.lambda_thermostat == "nhc":
+            scale_l, nhc_lam_xi = nhc_halfstep(
+                nhc_lam_xi, 2.0 * lambda_dyn.lambda_kinetic(v_lam, ts.spec),
+                self.n_sites, kT, cfg.lambda_tau, dt)
+            v_lam = v_lam * scale_l
+
+        # RATTLE
+        wv = self.shake.velocities(wx, wv, st.box, st.wvalid)
+        if ts.solute_constraints is not None:
+            sv = ts.solute_constraints.velocities(sx, sv, st.box)
+
+        return st_new.replace(
+            wv=wv, sv=sv, v_lam=v_lam, step=st.step + 1, key=key,
+            nhc_xi=nhc_xi, nhc_lam_xi=nhc_lam_xi,
+        ), frc_new
+
+    # -- minimization (FIRE on tiles, constraints enforced every move) --------
+
+    def make_minimize(self, n_steps: int, *, dt_start=0.3, dt_max=0.6,
+                      f_inc=1.1, f_dec=0.5, alpha_start=0.1, f_alpha=0.99,
+                      n_min=5, max_move=0.05):
+        """FIRE relaxation of the tiled system (λ held fixed); rigid-water
+        constraints are projected every move so H atoms cannot dive into a
+        neighbor's Coulomb well (see minimize.fire_minimize)."""
+        block = self.cfg.rebuild_every
+        n_blocks = -(-n_steps // block)
+        inv_mw = (units.FTM2V / self.wmass)[None, None, :]
+        inv_ms = units.FTM2V / self.ts.solute.mass[:, None]
+
+        def fire_step(carry, _):
+            st, vw, vs, dtf, al, n_pos = carry
+            frc = self.compute_forces(st)
+            vm = jnp.repeat(st.wvalid, 3, axis=-1)[None]
+            fw = frc.fw * vm
+            fs = frc.fs * self.ts.solute.smask[:, None]
+            vw = vw + dtf * fw * inv_mw
+            vs = vs + dtf * fs * inv_ms
+            power = jnp.sum(fw * vw) + jnp.sum(fs * vs)
+            f_norm = jnp.sqrt(jnp.sum(fw * fw) + jnp.sum(fs * fs) + 1e-20)
+            v_norm = jnp.sqrt(jnp.sum(vw * vw) + jnp.sum(vs * vs) + 1e-20)
+            mix = v_norm / f_norm
+            vw_m = (1.0 - al) * vw + al * fw * mix
+            vs_m = (1.0 - al) * vs + al * fs * mix
+            uphill = power < 0.0
+            vw = jnp.where(uphill, 0.0, vw_m)
+            vs = jnp.where(uphill, 0.0, vs_m)
+            n_pos = jnp.where(uphill, 0, n_pos + 1)
+            grow = (n_pos > n_min) & ~uphill
+            dtf = jnp.where(grow, jnp.minimum(dtf * f_inc, dt_max),
+                            jnp.where(uphill, dtf * f_dec, dtf))
+            al = jnp.where(grow, al * f_alpha,
+                           jnp.where(uphill, alpha_start, al))
+            dxw = dtf * vw
+            lw = jnp.sqrt(jnp.sum(dxw * dxw, axis=0, keepdims=True) + 1e-20)
+            dxw = dxw * jnp.minimum(1.0, max_move / lw)
+            dxs = dtf * vs
+            ls = jnp.sqrt(jnp.sum(dxs * dxs, axis=-1, keepdims=True) + 1e-20)
+            dxs = dxs * jnp.minimum(1.0, max_move / ls)
+            wx_new = st.wx + dxw * vm
+            sx_new = st.sx + dxs
+            wx_new, _ = self.shake.positions(
+                st.wx, wx_new, jnp.zeros_like(vw), st.box, 1.0, st.wvalid)
+            if self.ts.solute_constraints is not None:
+                sx_new, _ = self.ts.solute_constraints.positions(
+                    st.sx, sx_new, jnp.zeros_like(vs), st.box, 1.0)
+            st = st.replace(wx=wx_new, sx=sx_new)
+            return (st, vw, vs, dtf, al, n_pos), frc.e_pot
+
+        def block_fn(carry, _):
+            st, vw, vs, dtf, al, n_pos = carry
+            st, _ = rebin(st, self.ts.params)
+            # restart FIRE each block: keeps the adaptive dt from running
+            # away against the constraint projections
+            vw = jnp.zeros_like(vw)
+            vs = jnp.zeros_like(vs)
+            dtf = jnp.minimum(dtf, jnp.asarray(dt_start, dtf.dtype))
+            carry, e = jax.lax.scan(
+                fire_step, (st, vw, vs, dtf, al, n_pos), None, length=block)
+            return carry, e[-1]
+
+        def minimize(st: TiledState):
+            dtype = st.sx.dtype
+            carry0 = (
+                st, jnp.zeros_like(st.wv), jnp.zeros_like(st.sv),
+                jnp.asarray(dt_start, dtype), jnp.asarray(alpha_start, dtype),
+                jnp.array(0, jnp.int32),
+            )
+            (st, *_), e_hist = jax.lax.scan(
+                block_fn, carry0, None, length=n_blocks)
+            return st.replace(wv=jnp.zeros_like(st.wv),
+                              sv=jnp.zeros_like(st.sv)), e_hist
+
+        return minimize
+
+    # -- run loop ------------------------------------------------------------
+
+    def make_run(self, n_steps: int):
+        block = self.cfg.rebuild_every
+        n_blocks = -(-n_steps // block)
+
+        def run(st: TiledState):
+            def outer(carry, _):
+                st, overflow = carry
+                st, ov = rebin(st, self.ts.params)
+                overflow = overflow | ov
+                frc = self.compute_forces(st)
+
+                def inner(c, _):
+                    s, f = c
+                    s, f = self.step(s, f)
+                    return (s, f), self.observe(s, f)
+
+                (st, frc), obs = jax.lax.scan(
+                    inner, (st, frc), None, length=block)
+                return (st, overflow), obs
+
+            (st, overflow), obs = jax.lax.scan(
+                outer, (st, jnp.array(False)), None, length=n_blocks)
+            obs = jax.tree.map(
+                lambda a: a.reshape((n_blocks * block,) + a.shape[2:]), obs)
+            return st, overflow, obs
+
+        return run
+
+    def run(self, st: TiledState, n_steps: int):
+        return jax.jit(self.make_run(n_steps))(st)

@@ -1,0 +1,202 @@
+"""Tiled pair blocks: water-water (roll half-stencil), water-solute,
+solute-solute. Zero gathers per step — every operand is a roll, reshape,
+broadcast, or reduction (see tiled/__init__.py for the measured rationale).
+
+Per-atom energy tallies (the reference's eatom contract,
+fix_constant_pH.cpp:216-219) and φ = ∂U/∂q come out of the same pass.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from constant_ph_tpu import units
+from constant_ph_tpu.ops.kernels import R2_MIN, coul_kernel, lj_kernel
+from constant_ph_tpu.state import min_image
+from constant_ph_tpu.tiled.layout import SoluteTables, TileParams, WaterModel
+
+
+@struct.dataclass
+class BlockSums:
+    e_lj: jax.Array
+    e_coul: jax.Array
+    fi: tuple          # 3 arrays (..., A)
+    fj: tuple          # 3 arrays (..., B) (None-like zeros if single-sided)
+    eatom_i: jax.Array
+    eatom_j: jax.Array
+    phi_i: jax.Array
+    phi_j: jax.Array
+
+
+def _pair_block(xi, xj, box, qi, qj, c6p, c12p, eshp, scoulp, weight,
+                *, style, alpha, rc, double_sided):
+    """Generic dense pair block between atom sets A and B.
+
+    xi/xj: tuples of 3 per-dim coordinate arrays (..., A) / (..., B).
+    All coefficient args broadcastable to (..., A, B). weight ∈ {0,1}
+    encodes validity + exclusions; masked pairs are pushed outside the
+    cutoff (NaN-safe double-where).
+    """
+    far = rc * rc + 1.0
+    dx = []
+    r2 = None
+    for d in range(3):
+        dxd = min_image(xi[d][..., :, None] - xj[d][..., None, :], box[d])
+        dx.append(dxd)
+        r2 = dxd * dxd if r2 is None else r2 + dxd * dxd
+    r2 = jnp.where(weight > 0, jnp.maximum(r2, R2_MIN), far)
+    in_rc = (r2 < rc * rc).astype(r2.dtype)
+    inv_r2 = 1.0 / r2
+    r = jnp.sqrt(r2)
+
+    e_lj_p, f_lj = lj_kernel(inv_r2, c6p, c12p, eshp)
+    e_lj_p = e_lj_p * in_rc
+    f_lj = f_lj * in_rc
+
+    u_r, w_r = coul_kernel(r2, r, inv_r2, scoulp, alpha=alpha, style=style,
+                           rc=rc)
+    u_r = u_r * in_rc
+    w_r = w_r * in_rc
+    kqq = units.QQR2E * qi[..., :, None] * qj[..., None, :]
+    e_c_p = kqq * u_r
+    f_c = kqq * w_r
+
+    fpair = f_lj + f_c
+    fi = tuple(jnp.sum(fpair * dx[d], axis=-1) for d in range(3))
+    e_p = e_lj_p + e_c_p
+    eatom_i = 0.5 * jnp.sum(e_p, axis=-1)
+    phi_i = units.QQR2E * jnp.sum(qj[..., None, :] * u_r, axis=-1)
+    if double_sided:
+        fj = tuple(-jnp.sum(fpair * dx[d], axis=-2) for d in range(3))
+        eatom_j = 0.5 * jnp.sum(e_p, axis=-2)
+        phi_j = units.QQR2E * jnp.sum(qi[..., :, None] * u_r, axis=-2)
+        scale = 1.0
+    else:
+        fj = eatom_j = phi_j = None
+        scale = 0.5  # full matrix counted once from the i side
+    return BlockSums(
+        e_lj=scale * jnp.sum(e_lj_p),
+        e_coul=scale * jnp.sum(e_c_p),
+        fi=fi, fj=fj, eatom_i=eatom_i, eatom_j=eatom_j,
+        phi_i=phi_i, phi_j=phi_j,
+    )
+
+
+def _water_patterns(wm: WaterModel, W: int, dtype):
+    q_pat = jnp.asarray(np.tile(wm.q_pattern, W), dtype=dtype)       # (3W,)
+    lj_pat = jnp.asarray(np.tile([1.0, 0.0, 0.0], W), dtype=dtype)   # O only
+    a = np.arange(3 * W)
+    same_mol = (a[:, None] // 3) == (a[None, :] // 3)
+    return q_pat, lj_pat, jnp.asarray(~same_mol, dtype=dtype)
+
+
+def water_water(wxg, wvalid, wm: WaterModel, p: TileParams, box,
+                *, style, alpha, rc):
+    """All water-water interactions. wxg: (3, gx, gy, gz, 3W);
+    wvalid: (gx, gy, gz, W). Returns (e_lj, e_coul, f (3,...,3W),
+    eatom (...,3W), phi (...,3W))."""
+    gx, gy, gz = p.grid
+    W = p.W
+    dtype = wxg.dtype
+    q_pat, lj_pat, not_same_mol = _water_patterns(wm, W, dtype)
+    vmask = jnp.repeat(wvalid, 3, axis=-1)                # (gx,gy,gz,3W)
+
+    xi = tuple(wxg[d] for d in range(3))
+    qi = q_pat[None, None, None, :]
+    c6_ij = wm.c6_OO * lj_pat[:, None] * lj_pat[None, :]
+    c12_ij = wm.c12_OO * lj_pat[:, None] * lj_pat[None, :]
+    esh_ij = wm.eshift_OO * lj_pat[:, None] * lj_pat[None, :]
+
+    f = [jnp.zeros_like(wxg[d]) for d in range(3)]
+    eatom = jnp.zeros_like(vmask)
+    phi = jnp.zeros_like(vmask)
+    e_lj = jnp.zeros((), dtype)
+    e_coul = jnp.zeros((), dtype)
+
+    # self cell: full matrix, same-molecule pairs excluded, i-side counting
+    w_self = (vmask[..., :, None] * vmask[..., None, :]) * not_same_mol
+    bs = _pair_block(xi, xi, box, qi, qi, c6_ij, c12_ij, esh_ij, 1.0,
+                     w_self, style=style, alpha=alpha, rc=rc,
+                     double_sided=False)
+    for d in range(3):
+        f[d] = f[d] + bs.fi[d]
+    # full matrix: row-sums already give each atom its half-share of every
+    # pair, and the 0.5 energy scale in the block de-duplicates (i,j)/(j,i)
+    eatom = eatom + bs.eatom_i
+    phi = phi + bs.phi_i
+    e_lj = e_lj + bs.e_lj
+    e_coul = e_coul + bs.e_coul
+
+    # half stencil: each unordered cell pair once, both sides accumulated
+    axes = (1, 2, 3)
+    vaxes = (0, 1, 2)
+    for off in p.half_stencil:
+        sh = tuple(-o for o in off)
+        xj = tuple(jnp.roll(wxg[d], sh, axis=vaxes) for d in range(3))
+        vmj = jnp.roll(vmask, sh, axis=vaxes)
+        w = vmask[..., :, None] * vmj[..., None, :]
+        bs = _pair_block(xi, xj, box, qi, qi, c6_ij, c12_ij, esh_ij, 1.0,
+                         w, style=style, alpha=alpha, rc=rc,
+                         double_sided=True)
+        for d in range(3):
+            f[d] = f[d] + bs.fi[d] + jnp.roll(bs.fj[d], off, axis=vaxes)
+        eatom = eatom + bs.eatom_i + jnp.roll(bs.eatom_j, off, axis=vaxes)
+        phi = phi + bs.phi_i + jnp.roll(bs.phi_j, off, axis=vaxes)
+        e_lj = e_lj + bs.e_lj
+        e_coul = e_coul + bs.e_coul
+    return e_lj, e_coul, f, eatom, phi
+
+
+def water_solute(wxg, wvalid, sx, qs, st: SoluteTables, wm: WaterModel,
+                 p: TileParams, box, *, style, alpha, rc):
+    """Water tiles × dense solute. Returns (e_lj, e_coul, f_w(3,...,3W),
+    f_s(Ns,3), eatom_w, eatom_s, phi_w, phi_s)."""
+    W = p.W
+    dtype = wxg.dtype
+    q_pat, lj_pat, _ = _water_patterns(wm, W, dtype)
+    vmask = jnp.repeat(wvalid, 3, axis=-1)
+
+    xi = tuple(wxg[d] for d in range(3))
+    xj = tuple(sx[:, d][None, None, None, :] for d in range(3))
+    qi = q_pat[None, None, None, :]
+    qj = qs[None, None, None, :]
+    c6p = lj_pat[:, None] * st.c6_cross[None, :]
+    c12p = lj_pat[:, None] * st.c12_cross[None, :]
+    eshp = lj_pat[:, None] * st.eshift_cross[None, :]
+    w = vmask[..., :, None] * st.smask[None, None, None, None, :]
+    bs = _pair_block(xi, xj, box, qi, qj, c6p, c12p, eshp, 1.0, w,
+                     style=style, alpha=alpha, rc=rc, double_sided=True)
+    f_s = jnp.stack(
+        [jnp.sum(bs.fj[d], axis=(0, 1, 2)) for d in range(3)], axis=-1)
+    eatom_s = jnp.sum(bs.eatom_j, axis=(0, 1, 2))
+    phi_s = jnp.sum(bs.phi_j, axis=(0, 1, 2))
+    return (bs.e_lj, bs.e_coul, bs.fi, f_s, bs.eatom_i, eatom_s,
+            bs.phi_i, phi_s)
+
+
+def solute_solute(sx, qs, st: SoluteTables, box, *, style, alpha, rc):
+    """Dense all-pairs solute block with exact special tables."""
+    Ns = sx.shape[0]
+    xi = tuple(sx[:, d] for d in range(3))
+    eye = jnp.eye(Ns, dtype=sx.dtype)
+    w = st.smask[:, None] * st.smask[None, :] * (1.0 - eye)
+    bs = _pair_block(xi, xi, box, qs, qs, st.c6, st.c12, st.eshift,
+                     st.scoul, w, style=style, alpha=alpha, rc=rc,
+                     double_sided=False)
+    return bs.e_lj, bs.e_coul, jnp.stack(bs.fi, axis=-1), bs.eatom_i, bs.phi_i
+
+
+def water_intra_ewald_correction(wm: WaterModel, n_waters, alpha: float):
+    """Constant energy correction for rigid-water intra-molecular pairs
+    under Ewald: the same-molecule mask removes the real-space −erf
+    compensation that the reciprocal sum needs (see ops/pair.py screening).
+    Rigid geometry ⇒ the correction is a constant; its internal forces do
+    no work on a rigid body (projected by SHAKE/RATTLE)."""
+    import math
+
+    qO, qH = wm.q_pattern[0], wm.q_pattern[1]
+    e = (2.0 * qO * qH * math.erf(alpha * wm.d_OH) / wm.d_OH
+         + qH * qH * math.erf(alpha * wm.d_HH) / wm.d_HH)
+    return -units.QQR2E * e * n_waters

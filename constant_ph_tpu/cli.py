@@ -210,6 +210,38 @@ def cmd_titrate(args):
     print(json.dumps(out))
 
 
+def cmd_calibrate(args):
+    """ΔG_ref thermodynamic-integration calibration for site 0."""
+    import jax
+
+    cfg = _load_config(args.config)
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        system = _build_system(dict(cfg["system"]))
+        ecfg, bias, kspace_ep = _make_engines(cfg, system)
+
+    from constant_ph_tpu import titration
+    from constant_ph_tpu.tiled.engine import TiledEngine
+    from constant_ph_tpu.tiled.layout import split_system, to_tiled
+
+    with jax.default_device(cpu):
+        ts = split_system(system)
+        tst = to_tiled(ts, system.state)
+    tst = jax.device_put(tst, jax.devices()[0])
+    eng = TiledEngine(ts, ecfg, bias=bias, kspace_ep=kspace_ep)
+    tst, _ = jax.jit(eng.make_minimize(300))(tst)
+    tst, _, _ = eng.run(tst, int(args.equil))
+    dG, (nodes, prof) = titration.calibrate_dG_ref_tiled(
+        ts, tst, ecfg, bias=bias, kspace_ep=kspace_ep,
+        equil_steps=int(args.window_equil), sample_steps=int(args.samples),
+        return_profile=True)
+    print(json.dumps({
+        "dG_ref": dG,
+        "lambda_nodes": nodes.tolist(),
+        "dUdlam_profile": [float(p) for p in prof],
+    }))
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="constant_ph_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -220,6 +252,13 @@ def main(argv=None):
     p_t.add_argument("config")
     p_t.add_argument("--ph", required=True, help="comma-separated pH values")
     p_t.set_defaults(fn=cmd_titrate)
+    p_c = sub.add_parser("calibrate",
+                         help="TI calibration of dG_ref for site 0")
+    p_c.add_argument("config")
+    p_c.add_argument("--equil", default=2000)
+    p_c.add_argument("--window-equil", default=1000)
+    p_c.add_argument("--samples", default=5000)
+    p_c.set_defaults(fn=cmd_calibrate)
     args = ap.parse_args(argv)
     args.fn(args)
 

@@ -67,6 +67,9 @@ class EngineConfig:
     # reached) but guarantees boundedness
     lam_min: float = struct.field(pytree_node=False, default=-0.5)
     lam_max: float = struct.field(pytree_node=False, default=1.5)
+    # freeze λ at its current value (thermodynamic-integration windows for
+    # ΔG_ref calibration sample dU/dλ at fixed λ)
+    lambda_frozen: bool = struct.field(pytree_node=False, default=False)
 
 
 @struct.dataclass
@@ -250,6 +253,7 @@ class Engine:
         dt = cfg.dt
         inv_m = units.FTM2V / ff.mass[:, None]
         has_lam = self.spec is not None
+        move_lam = has_lam and not cfg.lambda_frozen
         if has_lam:
             inv_ml = units.FTM2V / self.spec.m_lambda
 
@@ -267,7 +271,7 @@ class Engine:
                 nhc_xi, 2.0 * kinetic_energy(v, ff.mass), ndof, kT, cfg.tau, dt
             )
             v = v * scale
-        if has_lam and cfg.lambda_thermostat == "nhc":
+        if move_lam and cfg.lambda_thermostat == "nhc":
             scale_l, nhc_lam_xi = nhc_halfstep(
                 nhc_lam_xi,
                 2.0 * lambda_dyn.lambda_kinetic(v_lam, self.spec),
@@ -277,31 +281,31 @@ class Engine:
 
         # B: half kick
         v = v + (0.5 * dt) * frc.f * inv_m
-        if has_lam:
+        if move_lam:
             k1 = self._lam_kick_scale(state.step, 0)
             v_lam = v_lam + (0.5 * dt) * k1 * frc.f_lam * inv_ml
 
         if cfg.thermostat == "langevin" or (
-            has_lam and cfg.lambda_thermostat == "langevin"
+            move_lam and cfg.lambda_thermostat == "langevin"
         ):
             key, k_at, k_lm = jax.random.split(key, 3)
 
         # A: half drift
         x = x + (0.5 * dt) * v
-        if has_lam:
+        if move_lam:
             lam = lam + (0.5 * dt) * v_lam
 
         # O: thermostat (Langevin) — full dt OU update
         if cfg.thermostat == "langevin":
             v = langevin_o_step(k_at, v, ff.mass, cfg.T, cfg.gamma, dt)
-        if has_lam and cfg.lambda_thermostat == "langevin":
+        if move_lam and cfg.lambda_thermostat == "langevin":
             v_lam = langevin_o_step(
                 k_lm, v_lam, self.spec.m_lambda, cfg.T, cfg.lambda_gamma, dt
             )
 
         # A: half drift
         x = x + (0.5 * dt) * v
-        if has_lam:
+        if move_lam:
             lam = lam + (0.5 * dt) * v_lam
             lam, v_lam = self._reflect_lam(lam, v_lam)
 
@@ -314,7 +318,7 @@ class Engine:
 
         # B: half kick
         v = v + (0.5 * dt) * frc_new.f * inv_m
-        if has_lam:
+        if move_lam:
             k2 = self._lam_kick_scale(state.step, 1)
             v_lam = v_lam + (0.5 * dt) * k2 * frc_new.f_lam * inv_ml
 
@@ -323,7 +327,7 @@ class Engine:
                 nhc_xi, 2.0 * kinetic_energy(v, ff.mass), ndof, kT, cfg.tau, dt
             )
             v = v * scale
-        if has_lam and cfg.lambda_thermostat == "nhc":
+        if move_lam and cfg.lambda_thermostat == "nhc":
             scale_l, nhc_lam_xi = nhc_halfstep(
                 nhc_lam_xi,
                 2.0 * lambda_dyn.lambda_kinetic(v_lam, self.spec),

@@ -246,6 +246,7 @@ class TiledEngine:
         dt = cfg.dt
         dtype = st.sx.dtype
         has_lam = ts.spec is not None
+        move_lam = has_lam and not cfg.lambda_frozen
         frc = self._cap_forces(frc)
 
         vm_atoms = jnp.repeat(st.wvalid, 3, axis=-1)[None]   # (1, G, 3W)
@@ -268,7 +269,7 @@ class TiledEngine:
                                          cfg.tau, dt)
             wv = wv * scale
             sv = sv * scale
-        if has_lam and cfg.lambda_thermostat == "nhc":
+        if move_lam and cfg.lambda_thermostat == "nhc":
             scale_l, nhc_lam_xi = nhc_halfstep(
                 nhc_lam_xi, 2.0 * lambda_dyn.lambda_kinetic(v_lam, ts.spec),
                 self.n_sites, kT, cfg.lambda_tau, dt)
@@ -277,19 +278,19 @@ class TiledEngine:
         # B
         wv = wv + (0.5 * dt) * frc.fw * inv_mw * vm_atoms
         sv = sv + (0.5 * dt) * frc.fs * inv_ms
-        if has_lam:
+        if move_lam:
             k1 = self._lam_kick_scale(st.step, 0)
             v_lam = v_lam + (0.5 * dt) * k1 * frc.f_lam * inv_ml
 
         if cfg.thermostat == "langevin" or (
-            has_lam and cfg.lambda_thermostat == "langevin"
+            move_lam and cfg.lambda_thermostat == "langevin"
         ):
             key, kw, ks_, kl = jax.random.split(key, 4)
 
         # A
         wx = wx + (0.5 * dt) * wv
         sx = sx + (0.5 * dt) * sv
-        if has_lam:
+        if move_lam:
             lam = lam + (0.5 * dt) * v_lam
 
         # O (Langevin OU)
@@ -303,7 +304,7 @@ class TiledEngine:
                              / (ts.solute.mass * units.MVV2E))[:, None]
             sv = c1 * sv + sig_s * ts.solute.smask[:, None] \
                 * jax.random.normal(ks_, sv.shape, dtype=dtype)
-        if has_lam and cfg.lambda_thermostat == "langevin":
+        if move_lam and cfg.lambda_thermostat == "langevin":
             c1l = jnp.exp(-cfg.lambda_gamma * dt)
             sig_l = jnp.sqrt((1.0 - c1l * c1l) * kT
                              / (ts.spec.m_lambda * units.MVV2E))
@@ -313,7 +314,7 @@ class TiledEngine:
         # A
         wx = wx + (0.5 * dt) * wv
         sx = sx + (0.5 * dt) * sv
-        if has_lam:
+        if move_lam:
             lam = lam + (0.5 * dt) * v_lam
             lam, v_lam = self._reflect_lam(lam, v_lam)
 
@@ -329,7 +330,7 @@ class TiledEngine:
         # B
         wv = wv + (0.5 * dt) * frc_capped.fw * inv_mw * vm_atoms
         sv = sv + (0.5 * dt) * frc_capped.fs * inv_ms
-        if has_lam:
+        if move_lam:
             k2 = self._lam_kick_scale(st.step, 1)
             v_lam = v_lam + (0.5 * dt) * k2 * frc_new.f_lam * inv_ml
 
@@ -340,7 +341,7 @@ class TiledEngine:
                                          cfg.tau, dt)
             wv = wv * scale
             sv = sv * scale
-        if has_lam and cfg.lambda_thermostat == "nhc":
+        if move_lam and cfg.lambda_thermostat == "nhc":
             scale_l, nhc_lam_xi = nhc_halfstep(
                 nhc_lam_xi, 2.0 * lambda_dyn.lambda_kinetic(v_lam, ts.spec),
                 self.n_sites, kT, cfg.lambda_tau, dt)

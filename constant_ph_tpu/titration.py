@@ -1,0 +1,125 @@
+"""ΔG_ref calibration + titration analysis utilities.
+
+In constant-pH MD the force-field deprotonation free energy of each site
+must be referenced against the model compound whose experimental pKa is
+used (the Donnini–Ullmann scheme the reference implements): the site
+Hamiltonian term is f(λ)·[kT·ln10·(pK−pH) − ΔG_ref] (lambda_dyn.ph_energy),
+where ΔG_ref = G_ff(λ=1) − G_ff(λ=0) of the reference compound in solution.
+Without it the raw force field dominates (solvation of the ionized form is
+tens of kcal/mol) and titration curves saturate.
+
+ΔG_ref comes from thermodynamic integration over frozen-λ windows:
+
+    ΔG_ref = ∫₀¹ ⟨dU_elec/dλ⟩_λ dλ
+
+sampled with the same engine (lambda_frozen=True) and Gauss–Legendre
+quadrature. The reference never solved this (its HB−HA scheme is the
+uncalibrated approximation, SURVEY.md §8 bug 16).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+# 7-point Gauss–Legendre nodes/weights on [0, 1]
+_GL_X = np.array([0.02544604, 0.12923441, 0.29707742, 0.5,
+                  0.70292258, 0.87076559, 0.97455396])
+_GL_W = np.array([0.06474248, 0.13985270, 0.19091503, 0.20897959,
+                  0.19091503, 0.13985270, 0.06474248])
+
+
+def calibrate_dG_ref_tiled(
+    tsys,
+    tstate,
+    cfg,
+    *,
+    bias=None,
+    kspace_ep=None,
+    site: int = 0,
+    equil_steps: int = 500,
+    sample_steps: int = 2000,
+    nodes=None,
+    weights=None,
+    return_profile: bool = False,
+):
+    """TI calibration on the tiled engine. Returns ΔG_ref (and the λ-profile
+    of ⟨dU/dλ⟩ if requested). The input tstate should be pre-equilibrated.
+    """
+    from constant_ph_tpu.engine import EngineConfig
+    from constant_ph_tpu.lambda_dyn import BiasParams
+    from constant_ph_tpu.tiled.engine import TiledEngine
+
+    if bias is None:
+        bias = BiasParams()
+    nodes = _GL_X if nodes is None else np.asarray(nodes)
+    weights = _GL_W if weights is None else np.asarray(weights)
+
+    cfg_frozen = dataclasses.replace(cfg, lambda_frozen=True)
+    eng = TiledEngine(tsys, cfg_frozen, bias=bias, kspace_ep=kspace_ep)
+    run_eq = jax.jit(eng.make_run(equil_steps))
+    run_samp = jax.jit(eng.make_run(sample_steps))
+
+    means = []
+    for lam_val in nodes:
+        lam = jnp.full_like(tstate.lam, 0.0).at[site].set(float(lam_val))
+        st = tstate.replace(lam=lam, v_lam=jnp.zeros_like(tstate.v_lam))
+        st, _, _ = run_eq(st)
+        st, _, obs = run_samp(st)
+        means.append(float(jnp.mean(obs.dUdlam[:, site])))
+    dG = float(np.dot(weights, np.asarray(means)))
+    if return_profile:
+        return dG, (np.asarray(nodes), np.asarray(means))
+    return dG
+
+
+def calibrate_dG_ref(
+    system,
+    cfg,
+    *,
+    bias=None,
+    site: int = 0,
+    kspace_fn=None,
+    equil_steps: int = 500,
+    sample_steps: int = 2000,
+    minimize_steps: int = 300,
+    nodes=None,
+    weights=None,
+):
+    """TI calibration on the canonical engine (reference path)."""
+    from constant_ph_tpu.lambda_dyn import BiasParams
+    from constant_ph_tpu.minimize import fire_minimize
+
+    if bias is None:
+        bias = BiasParams()
+    nodes = _GL_X if nodes is None else np.asarray(nodes)
+    weights = _GL_W if weights is None else np.asarray(weights)
+
+    cfg_frozen = dataclasses.replace(cfg, lambda_frozen=True)
+    eng = system.make_engine(cfg_frozen, bias=bias, kspace_fn=kspace_fn)
+    state0 = system.state
+    if minimize_steps:
+        state0, _ = fire_minimize(eng, state0, n_steps=minimize_steps)
+
+    run_eq = jax.jit(eng.make_run(equil_steps))
+    run_samp = jax.jit(eng.make_run(sample_steps))
+    nbr = eng.build_neighbors(state0.x, state0.box)
+
+    means = []
+    for lam_val in nodes:
+        lam = jnp.zeros_like(state0.lam).at[site].set(float(lam_val))
+        st = state0.replace(lam=lam, v_lam=jnp.zeros_like(state0.v_lam))
+        st, _, _ = run_eq(st, nbr)
+        st, _, obs = run_samp(st, nbr)
+        means.append(float(jnp.mean(obs.dUdlam[:, site])))
+    return float(np.dot(weights, np.asarray(means)))
+
+
+def apply_dG_ref(spec, dG_ref):
+    """Return a LambdaSpec with per-site ΔG_ref installed."""
+    val = jnp.broadcast_to(
+        jnp.asarray(dG_ref, dtype=spec.dG_ref.dtype), spec.dG_ref.shape)
+    return spec.replace(dG_ref=val)

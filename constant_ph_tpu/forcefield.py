@@ -150,10 +150,13 @@ def build_exclusions(
 ) -> tuple[np.ndarray, np.ndarray]:
     """Derive 1-2/1-3/1-4 special-pair tables from the bond graph.
 
-    Host-side (numpy) topology work — the analog of LAMMPS's
-    special-bonds machinery that decides which pair interactions are
-    masked/scaled.
+    Host-side topology work — the analog of LAMMPS's special-bonds
+    machinery. Uses the native C++ builder (constant_ph_tpu/native)
+    when the toolchain is available; pure-Python fallback otherwise.
     """
+    native = _build_exclusions_native(n_atoms, bonds, max_excl)
+    if native is not None:
+        return native
     adj: list[set[int]] = [set() for _ in range(n_atoms)]
     for i, j in np.asarray(bonds, dtype=np.int64).reshape(-1, 2):
         adj[i].add(int(j))
@@ -186,3 +189,32 @@ def build_exclusions(
             "raise max_excl"
         )
     return excl_idx, excl_code
+
+
+def _build_exclusions_native(n_atoms, bonds, max_excl):
+    """C++ fast path for build_exclusions (None if unavailable)."""
+    import ctypes
+
+    try:
+        from constant_ph_tpu.native.build import load_library
+    except ImportError:
+        return None
+    lib = load_library("topology")
+    if lib is None:
+        return None
+    bonds = np.ascontiguousarray(np.asarray(bonds, dtype=np.int64)
+                                 .reshape(-1, 2))
+    excl_idx = np.full((n_atoms, max_excl), -1, dtype=np.int64)
+    excl_code = np.zeros((n_atoms, max_excl), dtype=np.int64)
+    lib.build_exclusions.restype = ctypes.c_int64
+    ret = lib.build_exclusions(
+        ctypes.c_int64(n_atoms), ctypes.c_int64(bonds.shape[0]),
+        bonds.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(max_excl),
+        excl_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        excl_code.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    if ret != 0:
+        raise ValueError(
+            f"exclusion capacity {max_excl} exceeded (need {ret}); "
+            "raise max_excl")
+    return excl_idx.astype(np.int32), excl_code.astype(np.int32)

@@ -1,0 +1,438 @@
+"""LAMMPS data-file reader → System (real systems, not just builders).
+
+The bulky sections (Atoms/Velocities/Bonds/…) are parsed by the native C++
+reader (native/lammps_data.cpp) when available, with a pure-Python fallback;
+coefficient sections (Masses, Pair/Bond/Angle/Dihedral/Improper Coeffs) are
+parsed host-side here. Styles assumed: pair lj/cut/coul/* (eps sigma),
+harmonic bonds/angles (k r0 / k theta0[deg]), CHARMM dihedrals
+(k n d[deg] ...), harmonic impropers (k chi0[deg]) — the LAMMPS-real
+conventions of the reference's ecosystem.
+"""
+from __future__ import annotations
+
+import ctypes
+
+import numpy as np
+import jax.numpy as jnp
+
+from constant_ph_tpu.forcefield import (
+    BondedParams,
+    ForceField,
+    build_exclusions,
+    make_pair_params,
+)
+from constant_ph_tpu.lambda_dyn import make_single_site, stack_sites
+from constant_ph_tpu.neighbors import make_neighbor_params
+from constant_ph_tpu.ops.constraints import RigidTriatomic
+from constant_ph_tpu.state import make_state
+from constant_ph_tpu.systems.base import System
+
+
+def _read_native(path: str):
+    from constant_ph_tpu.native.build import load_library
+
+    lib = load_library("lammps_data")
+    if lib is None:
+        return None
+    lib.ld_open.restype = ctypes.c_int64
+    sizes = (ctypes.c_int64 * 6)()
+    if lib.ld_open(path.encode(), sizes) != 0:
+        lib.ld_close()
+        raise IOError(f"cannot parse {path}")
+    na, nb, nan, nd, ni, nt = [int(s) for s in sizes]
+
+    def d(n):
+        return np.zeros(n, dtype=np.float64)
+
+    def i(n):
+        return np.zeros(n, dtype=np.int64)
+
+    x, v, q = d(na * 3), d(na * 3), d(na)
+    ty, mol = i(na), i(na)
+    mass_t, eps_t, sig_t = d(nt), d(nt), d(nt)
+    bonds, angles = i(nb * 3), i(nan * 4)
+    dihedrals, impropers = i(nd * 5), i(ni * 5)
+    box = d(6)
+    ptr = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+    ipt = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+    lib.ld_fill(ptr(x), ptr(v), ptr(q), ipt(ty), ipt(mol), ptr(mass_t),
+                ptr(eps_t), ptr(sig_t), ipt(bonds), ipt(angles),
+                ipt(dihedrals), ipt(impropers), ptr(box))
+    lib.ld_close()
+    return {
+        "x": x.reshape(na, 3), "v": v.reshape(na, 3), "q": q,
+        "type": ty, "mol": mol, "mass_by_type": mass_t,
+        "pair_eps": eps_t, "pair_sig": sig_t,
+        "bonds": bonds.reshape(nb, 3), "angles": angles.reshape(nan, 4),
+        "dihedrals": dihedrals.reshape(nd, 5),
+        "impropers": impropers.reshape(ni, 5), "box": box,
+    }
+
+
+def _read_python(path: str):
+    """Pure-Python fallback parser (same subset as the native reader)."""
+    import re
+
+    header = {}
+    box = np.zeros(6)
+    sections: dict = {}
+    cur = None
+    lines = open(path).read().splitlines()
+    for raw in lines[1:]:
+        line = raw.split("#")[0].strip()
+        if not line:
+            continue
+        if re.match(r"^[A-Za-z]", line):
+            # keep the raw line: the style comment ("Atoms # charge") matters
+            cur = raw.strip()
+            sections[cur] = []
+            continue
+        low = line.lower()
+        if low.endswith("atoms"):
+            header["atoms"] = int(line.split()[0]); continue
+        if low.endswith("bonds"):
+            header["bonds"] = int(line.split()[0]); continue
+        if low.endswith("angles"):
+            header["angles"] = int(line.split()[0]); continue
+        if low.endswith("dihedrals"):
+            header["dihedrals"] = int(line.split()[0]); continue
+        if low.endswith("impropers"):
+            header["impropers"] = int(line.split()[0]); continue
+        if low.endswith("atom types"):
+            header["types"] = int(line.split()[0]); continue
+        if "xlo xhi" in low:
+            box[0:2] = [float(t) for t in line.split()[:2]]; continue
+        if "ylo yhi" in low:
+            box[2:4] = [float(t) for t in line.split()[:2]]; continue
+        if "zlo zhi" in low:
+            box[4:6] = [float(t) for t in line.split()[:2]]; continue
+        if cur is not None:
+            sections[cur].append(line)
+
+    na = header.get("atoms", 0)
+    nt = header.get("types", 0)
+    out = {
+        "x": np.zeros((na, 3)), "v": np.zeros((na, 3)), "q": np.zeros(na),
+        "type": np.zeros(na, np.int64), "mol": np.zeros(na, np.int64),
+        "mass_by_type": np.zeros(nt), "pair_eps": np.zeros(nt),
+        "pair_sig": np.zeros(nt),
+        "bonds": np.zeros((header.get("bonds", 0), 3), np.int64),
+        "angles": np.zeros((header.get("angles", 0), 4), np.int64),
+        "dihedrals": np.zeros((header.get("dihedrals", 0), 5), np.int64),
+        "impropers": np.zeros((header.get("impropers", 0), 5), np.int64),
+        "box": box,
+    }
+    for name, rows in sections.items():
+        key = name.split()[0]
+        if key == "Masses":
+            for r in rows:
+                t, m = r.split()[:2]
+                out["mass_by_type"][int(t) - 1] = float(m)
+        elif name.startswith("Pair Coeffs"):
+            for r in rows:
+                t, e, s = r.split()[:3]
+                out["pair_eps"][int(t) - 1] = float(e)
+                out["pair_sig"][int(t) - 1] = float(s)
+        elif key == "Atoms":
+            full = "charge" not in name
+            for r in rows:
+                p = r.split()
+                if full:
+                    aid, mol, t, q = int(p[0]), int(p[1]), int(p[2]), float(p[3])
+                    xyz = [float(u) for u in p[4:7]]
+                else:
+                    aid, t, q = int(p[0]), int(p[1]), float(p[2])
+                    mol = 0
+                    xyz = [float(u) for u in p[3:6]]
+                out["mol"][aid - 1] = mol
+                out["type"][aid - 1] = t - 1
+                out["q"][aid - 1] = q
+                out["x"][aid - 1] = xyz
+        elif key == "Velocities":
+            for r in rows:
+                p = r.split()
+                out["v"][int(p[0]) - 1] = [float(u) for u in p[1:4]]
+        elif key in ("Bonds", "Angles", "Dihedrals", "Impropers"):
+            arr = out[key.lower()]
+            w = arr.shape[1]
+            for r in rows:
+                p = [int(u) for u in r.split()[: w + 1]]
+                arr[p[0] - 1] = [u - 1 for u in p[1:]]
+    return out
+
+
+def _read_coeffs(path: str):
+    """Bond/Angle/Dihedral/Improper Coeffs sections (Python-side)."""
+    import re
+
+    coeffs = {"Bond": {}, "Angle": {}, "Dihedral": {}, "Improper": {}}
+    cur = None
+    for raw in open(path).read().splitlines()[1:]:
+        line = raw.split("#")[0].strip()
+        if not line:
+            continue
+        if re.match(r"^[A-Za-z]", line):
+            cur = None
+            for kind in coeffs:
+                if line.startswith(f"{kind} Coeffs"):
+                    cur = kind
+            continue
+        if cur:
+            p = line.split()
+            coeffs[cur][int(p[0]) - 1] = [float(u) for u in p[1:]]
+    return coeffs
+
+
+def read_lammps_data(path: str) -> dict:
+    raw = _read_native(path)
+    if raw is None:
+        raw = _read_python(path)
+    raw["coeffs"] = _read_coeffs(path)
+    return raw
+
+
+def write_lammps_data(path: str, system: System, *, pair_eps=None,
+                      pair_sig=None) -> None:
+    """Export a System to LAMMPS data format (atom_style full).
+
+    Per-instance bonded parameters are compressed into types. Pair ε/σ per
+    type must be supplied if they cannot be inferred (builders keep only
+    mixed tables); defaults pull the diagonal of the mixed tables.
+    """
+    ff = system.ff
+    n = int(ff.mass.shape[0])
+    x = np.asarray(system.state.x)
+    v = np.asarray(system.state.v)
+    q = np.asarray(ff.q0)
+    types = np.asarray(ff.type)
+    ntypes = int(types.max()) + 1
+    box = np.asarray(system.state.box)
+    c6 = np.asarray(ff.pair.c6)
+    c12 = np.asarray(ff.pair.c12)
+    if pair_eps is None:
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sig6 = np.where(c6.diagonal() > 0,
+                            c12.diagonal() / np.maximum(c6.diagonal(), 1e-30),
+                            1.0)
+            pair_sig = sig6 ** (1.0 / 6.0)
+            pair_eps = np.where(c6.diagonal() > 0,
+                                c6.diagonal() / (4.0 * sig6), 0.0)
+
+    bp = system.bonded
+    mass_by_type = np.zeros(ntypes)
+    for i in range(n):
+        mass_by_type[types[i]] = np.asarray(ff.mass)[i]
+
+    def compress(params):
+        seen: dict = {}
+        out = []
+        for row in params:
+            key = tuple(np.round(row, 8))
+            if key not in seen:
+                seen[key] = len(seen)
+            out.append(seen[key])
+        return np.array(out, dtype=int), [list(k) for k in seen]
+
+    lines = ["generated by constant_ph_tpu", ""]
+    nb = int(bp.bond_idx.shape[0]) if bp is not None else 0
+    na = int(bp.angle_idx.shape[0]) if bp is not None else 0
+    nd = int(bp.dihedral_idx.shape[0]) if bp is not None else 0
+    lines.append(f"{n} atoms")
+    lines.append(f"{nb} bonds")
+    lines.append(f"{na} angles")
+    lines.append(f"{nd} dihedrals")
+    lines.append(f"{ntypes} atom types")
+
+    if nb:
+        b_t, b_coeffs = compress(
+            np.stack([np.asarray(bp.bond_k), np.asarray(bp.bond_r0)], -1))
+        lines.append(f"{len(b_coeffs)} bond types")
+    if na:
+        a_t, a_coeffs = compress(np.stack(
+            [np.asarray(bp.angle_k), np.rad2deg(np.asarray(bp.angle_t0))], -1))
+        lines.append(f"{len(a_coeffs)} angle types")
+    if nd:
+        d_t, d_coeffs = compress(np.stack(
+            [np.asarray(bp.dihedral_k), np.asarray(bp.dihedral_n),
+             np.rad2deg(np.asarray(bp.dihedral_d))], -1))
+        lines.append(f"{len(d_coeffs)} dihedral types")
+    lines += ["", f"0.0 {box[0]} xlo xhi", f"0.0 {box[1]} ylo yhi",
+              f"0.0 {box[2]} zlo zhi", "", "Masses", ""]
+    for t in range(ntypes):
+        lines.append(f"{t + 1} {mass_by_type[t]}")
+    lines += ["", "Pair Coeffs", ""]
+    for t in range(ntypes):
+        lines.append(f"{t + 1} {pair_eps[t]:.6f} {pair_sig[t]:.6f}")
+    if nb:
+        lines += ["", "Bond Coeffs", ""]
+        for t, (k, r0) in enumerate(b_coeffs):
+            lines.append(f"{t + 1} {k} {r0}")
+    if na:
+        lines += ["", "Angle Coeffs", ""]
+        for t, (k, t0) in enumerate(a_coeffs):
+            lines.append(f"{t + 1} {k} {t0}")
+    if nd:
+        lines += ["", "Dihedral Coeffs", ""]
+        for t, (k, mult, d) in enumerate(d_coeffs):
+            lines.append(f"{t + 1} {k} {int(mult)} {int(round(d))}")
+    lines += ["", "Atoms # full", ""]
+    for i in range(n):
+        lines.append(f"{i + 1} 1 {types[i] + 1} {q[i]:.6f} "
+                     f"{x[i, 0]:.8f} {x[i, 1]:.8f} {x[i, 2]:.8f}")
+    lines += ["", "Velocities", ""]
+    for i in range(n):
+        lines.append(f"{i + 1} {v[i, 0]:.8e} {v[i, 1]:.8e} {v[i, 2]:.8e}")
+    if nb:
+        lines += ["", "Bonds", ""]
+        bi = np.asarray(bp.bond_idx)
+        for b in range(nb):
+            lines.append(f"{b + 1} {b_t[b] + 1} {bi[b, 0] + 1} {bi[b, 1] + 1}")
+    if na:
+        lines += ["", "Angles", ""]
+        ai = np.asarray(bp.angle_idx)
+        for a in range(na):
+            lines.append(f"{a + 1} {a_t[a] + 1} {ai[a, 0] + 1} "
+                         f"{ai[a, 1] + 1} {ai[a, 2] + 1}")
+    if nd:
+        lines += ["", "Dihedrals", ""]
+        di = np.asarray(bp.dihedral_idx)
+        for d in range(nd):
+            lines.append(f"{d + 1} {d_t[d] + 1} {di[d, 0] + 1} "
+                         f"{di[d, 1] + 1} {di[d, 2] + 1} {di[d, 3] + 1}")
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+
+def system_from_lammps_data(
+    path: str,
+    *,
+    cutoff: float = 9.0,
+    skin: float = 2.0,
+    coul_style: str = "dsf",
+    alpha: float = 0.2,
+    special_lj=(1.0, 0.0, 0.0, 0.5),
+    special_coul=(1.0, 0.0, 0.0, 0.8333),
+    rigid_water_types=None,       # (O_type, H_type) 1-based, or None
+    titratable_sites=(),          # dicts: atoms, q_prot, q_deprot, pK,
+                                  # buffer (atom ids), dG_ref, m_lambda
+    pH: float = 7.0,
+    dtype=jnp.float32,
+    max_excl: int = 24,
+) -> System:
+    """Build a runnable System from a LAMMPS data file (the reference's
+    input pathway: its host reads exactly this format)."""
+    raw = read_lammps_data(path)
+    n = raw["x"].shape[0]
+    box = raw["box"][1::2] - raw["box"][0::2]
+    x = raw["x"] - raw["box"][0::2][None, :]
+
+    co = raw["coeffs"]
+    nb = raw["bonds"].shape[0]
+    na = raw["angles"].shape[0]
+    nd = raw["dihedrals"].shape[0]
+    ni = raw["impropers"].shape[0]
+
+    def coeff(kind, t, idx, default=0.0):
+        row = co[kind].get(int(t), [])
+        return row[idx] if idx < len(row) else default
+
+    bonded = BondedParams(
+        bond_idx=jnp.asarray(raw["bonds"][:, 1:3].astype(np.int32)),
+        bond_k=jnp.asarray([coeff("Bond", t, 0) for t in raw["bonds"][:, 0]],
+                           dtype=dtype),
+        bond_r0=jnp.asarray([coeff("Bond", t, 1) for t in raw["bonds"][:, 0]],
+                            dtype=dtype),
+        bond_mask=jnp.ones((nb,), dtype=dtype),
+        angle_idx=jnp.asarray(raw["angles"][:, 1:4].astype(np.int32)),
+        angle_k=jnp.asarray([coeff("Angle", t, 0) for t in raw["angles"][:, 0]],
+                            dtype=dtype),
+        angle_t0=jnp.asarray(
+            np.deg2rad([coeff("Angle", t, 1) for t in raw["angles"][:, 0]]),
+            dtype=dtype),
+        angle_mask=jnp.ones((na,), dtype=dtype),
+        dihedral_idx=jnp.asarray(raw["dihedrals"][:, 1:5].astype(np.int32)),
+        dihedral_k=jnp.asarray(
+            [coeff("Dihedral", t, 0) for t in raw["dihedrals"][:, 0]],
+            dtype=dtype),
+        dihedral_n=jnp.asarray(
+            [coeff("Dihedral", t, 1) for t in raw["dihedrals"][:, 0]],
+            dtype=dtype),
+        dihedral_d=jnp.asarray(
+            np.deg2rad([coeff("Dihedral", t, 2)
+                        for t in raw["dihedrals"][:, 0]]),
+            dtype=dtype),
+        dihedral_mask=jnp.ones((nd,), dtype=dtype),
+        improper_idx=jnp.asarray(raw["impropers"][:, 1:5].astype(np.int32)),
+        improper_k=jnp.asarray(
+            [coeff("Improper", t, 0) for t in raw["impropers"][:, 0]],
+            dtype=dtype),
+        improper_x0=jnp.asarray(
+            np.deg2rad([coeff("Improper", t, 1)
+                        for t in raw["impropers"][:, 0]]),
+            dtype=dtype),
+        improper_mask=jnp.ones((ni,), dtype=dtype),
+    )
+
+    excl_idx, excl_code = build_exclusions(
+        n, raw["bonds"][:, 1:3], max_excl=max_excl)
+
+    ff = ForceField(
+        mass=jnp.asarray(raw["mass_by_type"][raw["type"]], dtype=dtype),
+        q0=jnp.asarray(raw["q"], dtype=dtype),
+        type=jnp.asarray(raw["type"].astype(np.int32)),
+        pair=make_pair_params(
+            raw["pair_eps"], raw["pair_sig"], cutoff,
+            coul_style=coul_style, alpha=alpha,
+            special_lj=special_lj, special_coul=special_coul, dtype=dtype),
+        bonded=bonded,
+        excl_idx=jnp.asarray(excl_idx),
+        excl_code=jnp.asarray(excl_code),
+    )
+
+    constraints = None
+    if rigid_water_types is not None:
+        o_t, h_t = (t - 1 for t in rigid_water_types)
+        trips = []
+        d_oh = d_hh = None
+        bmap: dict = {}
+        for t, i, j in raw["bonds"]:
+            bmap.setdefault(i, []).append(j)
+            bmap.setdefault(j, []).append(i)
+        for i in range(n):
+            if raw["type"][i] == o_t:
+                hs = [j for j in bmap.get(i, []) if raw["type"][j] == h_t]
+                if len(hs) == 2:
+                    trips.append((i, hs[0], hs[1]))
+        if trips:
+            t0 = trips[0]
+            d_oh = float(np.linalg.norm(x[t0[0]] - x[t0[1]]))
+            d_hh = float(np.linalg.norm(x[t0[1]] - x[t0[2]]))
+            constraints = RigidTriatomic(
+                np.asarray(trips), raw["mass_by_type"][raw["type"]],
+                d_oh, d_hh)
+
+    spec = None
+    groupH_mask = None
+    if titratable_sites:
+        specs = []
+        gh = np.zeros(n, dtype=bool)
+        for s in titratable_sites:
+            specs.append(make_single_site(
+                atom_idx=s["atoms"], q_prot=s["q_prot"],
+                q_deprot=s["q_deprot"], pK=s["pK"],
+                buffer_idx=s.get("buffer"),
+                dG_ref=s.get("dG_ref", 0.0),
+                m_lambda=s.get("m_lambda", 20.0), dtype=dtype))
+            if "hydrogen" in s:
+                gh[s["hydrogen"]] = True
+        spec = stack_sites(specs)
+        groupH_mask = jnp.asarray(gh)
+
+    nbr_params = make_neighbor_params(box, cutoff, n_atoms=n, skin=skin)
+    state = make_state(
+        x, v=raw["v"], box=box,
+        lam=np.zeros(len(titratable_sites)) if titratable_sites else None,
+        pH=pH, dtype=dtype)
+    return System(ff=ff, state=state, nbr_params=nbr_params, bonded=bonded,
+                  constraints=constraints, spec=spec,
+                  groupH_mask=groupH_mask)

@@ -93,8 +93,10 @@ def solvated_acid(
 ) -> System:
     """A model titratable acid in a box of SPC/E water.
 
-    ``lambda_coupled=False`` zeroes dq (pure λ-dynamics on bias + pH term)
-    — the analytic Henderson–Hasselbalch acceptance configuration.
+    ``lambda_coupled`` scales the site's Δq: False/0 ⇒ uncoupled (pure
+    λ-dynamics on bias + pH term, the analytic Henderson–Hasselbalch
+    configuration), True/1 ⇒ full charge change, intermediate floats reduce
+    the solvent-reorganization barrier (useful for sampling studies).
 
     Layout: acid atoms [0..3], then waters; water 0 (atoms 4..6) is the
     charge-compensation buffer (the reference's groupW water). One lattice
@@ -198,7 +200,7 @@ def solvated_acid(
     )
 
     # λ site: acid atoms + buffer water (first water = atoms 4,5,6)
-    dq_scale = 1.0 if lambda_coupled else 0.0
+    dq_scale = float(lambda_coupled)
     spec = make_single_site(
         atom_idx=[0, 1, 2, 3],
         q_prot=ACID_Q_PROT,

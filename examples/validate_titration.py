@@ -10,9 +10,11 @@ Long-running (minutes on TPU, tens of minutes on CPU) — not part of CI.
     python examples/validate_titration.py [--nside 6] [--steps 200000]
 """
 import argparse
-import dataclasses
 import json
+import os
 import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp
@@ -24,6 +26,8 @@ def main():
     ap.add_argument("--nside", type=int, default=6)
     ap.add_argument("--steps", type=int, default=200_000)
     ap.add_argument("--cal-steps", type=int, default=20_000)
+    ap.add_argument("--dq-scale", type=float, default=1.0,
+                    help="site charge-coupling strength (1 = full)")
     ap.add_argument("--ph", default="2.75,3.5,4.25,5.0,5.75")
     ap.add_argument("--pk", type=float, default=4.25)
     ap.add_argument("--cpu", action="store_true")
@@ -42,7 +46,8 @@ def main():
     cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu):
         sys_ = solvated_acid(
-            n_side=args.nside, rigid_water=True, lambda_coupled=True,
+            n_side=args.nside, rigid_water=True,
+            lambda_coupled=args.dq_scale,
             pK=args.pk, cutoff=8.0, coul_style="dsf", alpha=0.2, seed=1,
         )
         ts = split_system(sys_)

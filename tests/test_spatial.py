@@ -1,0 +1,70 @@
+"""Spatial sharding over the virtual 8-device CPU mesh: the same tiled
+physics must hold sharded vs unsharded (SURVEY.md §4 item 5 — the TPU
+analog of LAMMPS rank-count parity testing)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from constant_ph_tpu.engine import EngineConfig
+from constant_ph_tpu.parallel.spatial import (
+    make_spatial_mesh,
+    shard_tiled_state,
+)
+from constant_ph_tpu.systems.water import solvated_acid
+from constant_ph_tpu.tiled.engine import TiledEngine
+from constant_ph_tpu.tiled.layout import split_system, to_tiled
+
+
+@pytest.fixture(scope="module")
+def setup():
+    # box 51.2 → grid 4³ (cell 12.8) → shardable over 2 or 4 devices
+    sys_ = solvated_acid(n_side=16, rigid_water=True, lambda_coupled=True,
+                         cutoff=8.0, skin=2.0, coul_style="dsf", alpha=0.2,
+                         seed=6)
+    ts = split_system(sys_)
+    assert ts.params.grid == (4, 4, 4)
+    tst = to_tiled(ts, sys_.state)
+    cfg = EngineConfig(dt=1.0, thermostat="nve", lambda_thermostat="none",
+                       rebuild_every=5)
+    eng = TiledEngine(ts, cfg)
+    return ts, tst, eng
+
+
+def test_sharded_forces_match_unsharded(setup):
+    ts, tst, eng = setup
+    frc_ref = jax.jit(eng.compute_forces)(tst)
+
+    mesh = make_spatial_mesh(4)
+    tst_sh = shard_tiled_state(tst, mesh, ts.params)
+    frc_sh = jax.jit(eng.compute_forces)(tst_sh)
+
+    np.testing.assert_allclose(float(frc_sh.e_lj), float(frc_ref.e_lj),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(frc_sh.e_coul), float(frc_ref.e_coul),
+                               rtol=1e-5)
+    f_ref = np.asarray(frc_ref.fw)
+    f_sh = np.asarray(frc_sh.fw)
+    scale = max(1.0, np.abs(f_ref).max())
+    np.testing.assert_allclose(f_sh / scale, f_ref / scale, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(frc_sh.dUdlam),
+                               np.asarray(frc_ref.dUdlam), rtol=1e-4,
+                               atol=1e-3)
+
+
+def test_sharded_step_trajectory_parity(setup):
+    ts, tst, eng = setup
+    run = eng.make_run(10)
+    st_ref, ov_ref, obs_ref = jax.jit(run)(tst)
+
+    mesh = make_spatial_mesh(2)
+    tst_sh = shard_tiled_state(tst, mesh, ts.params)
+    st_sh, ov_sh, obs_sh = jax.jit(run)(tst_sh)
+
+    # same physics trajectory (deterministic NVE) sharded vs not
+    np.testing.assert_allclose(
+        np.asarray(obs_sh.e_pot), np.asarray(obs_ref.e_pot), rtol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(obs_sh.ke), np.asarray(obs_ref.ke), rtol=2e-4, atol=1e-2)
+    np.testing.assert_allclose(
+        np.asarray(st_sh.sx), np.asarray(st_ref.sx), atol=1e-4)

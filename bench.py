@@ -40,8 +40,9 @@ def main():
         sys_ = solvated_acid(
             n_side=20, rigid_water=True, lambda_coupled=True,
             cutoff=8.0, skin=2.0, coul_style="dsf", alpha=0.2, pH=5.0,
+            hmr=3.0,
         )
-        ts = split_system(sys_, skin=2.0)
+        ts = split_system(sys_, skin=2.0, tile_safety=1.28)
         tst = to_tiled(ts, sys_.state)
     n_atoms = sys_.state.x.shape[0]
     log(f"built {n_atoms} atoms, grid {ts.params.grid}, W {ts.params.W}")
@@ -51,7 +52,7 @@ def main():
     # static tables ride along inside the engine closures
     log("state on device")
 
-    dt = 1.0
+    dt = 2.0
     cfg_eq = EngineConfig(
         dt=0.5, thermostat="langevin", T=300.0, gamma=0.01,
         lambda_thermostat="langevin", rebuild_every=20, force_cap=50.0,

@@ -88,6 +88,7 @@ def solvated_acid(
     skin: float = 2.0,
     alpha: float = 0.0,
     coul_style: str = "cut",
+    hmr: float = 1.0,
     seed: int = 0,
     dtype=jnp.float32,
 ) -> System:
@@ -134,7 +135,15 @@ def solvated_acid(
     ]).astype(np.int32)
     eps = np.concatenate([ACID_EPS, [EPS_O, 0.0]])
     sig = np.concatenate([ACID_SIG, [SIG_O, 1.0]])
-    mass = np.concatenate([ACID_MASS, np.tile([M_O, M_H, M_H], n_wat)])
+    acid_mass = ACID_MASS.copy()
+    if hmr > 1.0:
+        # hydrogen-mass repartitioning on the flexible solute O-H: borrow
+        # mass from the bonded O so dt=2 fs is stable (standard HMR; total
+        # mass and equilibrium ensemble unchanged)
+        dm = (hmr - 1.0) * acid_mass[3]
+        acid_mass[3] += dm
+        acid_mass[2] -= dm
+    mass = np.concatenate([acid_mass, np.tile([M_O, M_H, M_H], n_wat)])
     q0 = np.concatenate([ACID_Q_PROT, np.tile([Q_O, Q_H, Q_H], n_wat)])
 
     # bonds: acid C-O1, C-O2, O2-H (+ water bonds if flexible)

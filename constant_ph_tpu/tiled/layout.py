@@ -142,7 +142,7 @@ class TiledSystem:
         self.cutoff = cutoff
 
 
-def split_system(system, *, skin=2.0) -> TiledSystem:
+def split_system(system, *, skin=2.0, tile_safety=1.6) -> TiledSystem:
     """Classify atoms of a systems.base.System into water tiles + solute.
 
     Water = rigid triatomics from system.constraints, EXCEPT molecules
@@ -289,7 +289,7 @@ def split_system(system, *, skin=2.0) -> TiledSystem:
 
     box = np.asarray(system.state.box)
     params = make_tile_params(box, pp.cutoff, skin=skin,
-                              mol_radius=d_OH + 0.05)
+                              mol_radius=d_OH + 0.05, safety=tile_safety)
     return TiledSystem(
         params=params, water=water, solute_tables=tables, spec=spec,
         bonded=bonded, groupH_mask=jnp.asarray(gh),

@@ -28,6 +28,8 @@ def main():
     ap.add_argument("--cal-steps", type=int, default=20_000)
     ap.add_argument("--dq-scale", type=float, default=1.0,
                     help="site charge-coupling strength (1 = full)")
+    ap.add_argument("--slope", type=float, default=12.0,
+                    help="switching-function slope; the Donnini 50 makes\n                    the dG_ref step a kinetic trap at strong coupling")
     ap.add_argument("--ph", default="2.75,3.5,4.25,5.0,5.75")
     ap.add_argument("--pk", type=float, default=4.25)
     ap.add_argument("--cpu", action="store_true")
@@ -37,6 +39,7 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     from constant_ph_tpu import titration
+    from constant_ph_tpu.lambda_dyn import BiasParams
     from constant_ph_tpu.engine import EngineConfig
     from constant_ph_tpu.observables import hh_curve, protonation_fraction
     from constant_ph_tpu.systems.water import solvated_acid
@@ -56,30 +59,40 @@ def main():
 
     cfg = EngineConfig(
         dt=1.0, thermostat="langevin", T=300.0, gamma=0.005,
-        lambda_thermostat="langevin", lambda_gamma=0.02, rebuild_every=20,
+        lambda_thermostat="langevin", lambda_gamma=0.05, rebuild_every=20,
     )
-    eng0 = TiledEngine(ts, cfg)
+    bias = BiasParams(switch_slope=args.slope)
+    eng0 = TiledEngine(ts, cfg, bias=bias)
     tst0, e = jax.jit(eng0.make_minimize(400))(tst0)
     print(f"# minimized E={float(e[-1]):.1f}", file=sys.stderr)
     tst0, _, _ = eng0.run(tst0, 2000)   # thermal equilibration
     print("# equilibrated", file=sys.stderr)
 
     dG, (nodes, prof) = titration.calibrate_dG_ref_tiled(
-        ts, tst0, cfg, equil_steps=args.cal_steps // 10,
+        ts, tst0, cfg, bias=bias, equil_steps=args.cal_steps // 10,
         sample_steps=args.cal_steps, return_profile=True)
     print(f"# dG_ref = {dG:.3f} kcal/mol; profile "
           f"{np.round(prof, 2).tolist()}", file=sys.stderr)
 
     ts_cal = ts
     ts_cal.spec = titration.apply_dG_ref(ts.spec, dG)
-    eng = TiledEngine(ts_cal, cfg)
+    eng = TiledEngine(ts_cal, cfg, bias=bias)
 
+    # chunk device calls: a single multi-minute call can trip the remote
+    # runtime's watchdog
+    chunk = 25_000
+    run_chunk = jax.jit(eng.make_run(chunk))
     results = []
     for ph in [float(p) for p in args.ph.split(",")]:
         st = tst0.replace(pH=jnp.asarray(ph, tst0.pH.dtype),
                           lam=jnp.full_like(tst0.lam, 0.5))
-        st, ov, obs = eng.run(st, args.steps)
-        lam = np.asarray(obs.lam)
+        lams = []
+        ov = False
+        for _ in range(max(1, args.steps // chunk)):
+            st, ov_i, obs = run_chunk(st)
+            ov = ov or bool(ov_i)
+            lams.append(np.asarray(obs.lam))
+        lam = np.concatenate(lams)
         frac = float(protonation_fraction(lam)[0])
         results.append({"pH": ph, "deprotonated": frac,
                         "hh": float(hh_curve(args.pk, ph))})

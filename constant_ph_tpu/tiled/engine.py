@@ -58,11 +58,13 @@ class TiledEngine:
         config: EngineConfig = EngineConfig(),
         bias: BiasParams = BiasParams(),
         kspace_ep: Optional[EwaldParams] = None,
+        use_pallas_ww: bool = False,
     ):
         self.ts = tsys
         self.cfg = config
         self.bias = bias
         self.kspace_ep = kspace_ep
+        self.use_pallas_ww = use_pallas_ww and min(tsys.params.grid) >= 3
         self.shake = TiledWaterShake(tsys.water, tsys.params)
         p = tsys.params
         self.grid = p.grid
@@ -104,8 +106,14 @@ class TiledEngine:
         wxg = st.wx.reshape(3, gx, gy, gz, 3 * W)
         wvg = st.wvalid.reshape(gx, gy, gz, W)
 
-        e_lj_ww, e_c_ww, f_ww, eatom_ww, phi_ww = tforces.water_water(
-            wxg, wvg, ts.water, p, box, style=style, alpha=alpha, rc=rc)
+        if self.use_pallas_ww:
+            from constant_ph_tpu.tiled.pallas_ww import water_water_pallas
+
+            e_lj_ww, e_c_ww, f_ww, eatom_ww, phi_ww = water_water_pallas(
+                wxg, wvg, ts.water, p, box, style=style, alpha=alpha, rc=rc)
+        else:
+            e_lj_ww, e_c_ww, f_ww, eatom_ww, phi_ww = tforces.water_water(
+                wxg, wvg, ts.water, p, box, style=style, alpha=alpha, rc=rc)
 
         qs = self.charges_solute(st.lam)
         (e_lj_ws, e_c_ws, f_w_ws, f_s_ws, eatom_w_ws, eatom_s_ws,
@@ -171,6 +179,18 @@ class TiledEngine:
         )
 
     # -- diagnostics ------------------------------------------------------------
+
+    def memory_usage(self) -> dict:
+        """Byte accounting of the resident state/tables (the reference's
+        memory_usage() hook, fix_constant_pH.cpp:314-318, generalized)."""
+        A = 3 * self.W
+        f4 = 4
+        tiles = 2 * 3 * self.G * A * f4            # wx + wv
+        masks = self.G * self.W * (f4 + 4)          # wvalid + wid
+        Ns = int(self.ts.solute.q0.shape[0])
+        solute = 2 * Ns * 3 * f4 + 4 * Ns * Ns * f4  # sx/sv + pair tables
+        return {"water_tiles": tiles, "cell_masks": masks,
+                "solute": solute, "total": tiles + masks + solute}
 
     def kinetic_energy(self, st: TiledState):
         vm_atoms = jnp.repeat(st.wvalid, 3, axis=-1)

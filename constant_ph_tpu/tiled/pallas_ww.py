@@ -1,0 +1,200 @@
+"""Pallas water-water kernel: the fused hot loop.
+
+The XLA roll-stencil in tiled/forces.py streams (G, A, A) pair intermediates
+through HBM (~1.3 ms per stencil offset at 24k atoms — bandwidth-bound).
+This kernel keeps everything in VMEM: the pallas grid runs over cells, the
+27 stencil neighbors arrive as 27 BlockSpec VIEWS of the same tile array
+(index_map = (c+offset) mod grid — the pipeline double-buffers the DMAs),
+and each (A, A) pair block is computed and reduced on the VPU without ever
+touching HBM. i-side-only accumulation over the full stencil (every pair
+computed from both cells) avoids cross-block writes entirely.
+
+Tile row layout (8, A) with A = 3W atom slots:
+  0..2 x,y,z · 3 charge (pattern×valid, 0 for pads) · 4 LJ mask (valid O
+  slots) · 5 validity · 6..7 pad.
+Outputs per cell (8, A): 0..2 force xyz · 3 eatom_lj · 4 eatom_coul · 5 φ.
+
+Validated against tiled/forces.water_water in tests/test_pallas_ww.py
+(the SURVEY.md §5.2 interpret-mode "sanitizer" policy).
+"""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from constant_ph_tpu import units
+from constant_ph_tpu.ops.kernels import R2_MIN, TWO_OVER_SQRT_PI
+from constant_ph_tpu.tiled.layout import TileParams, WaterModel
+
+
+def _offsets():
+    out = []
+    for ox in (-1, 0, 1):
+        for oy in (-1, 0, 1):
+            for oz in (-1, 0, 1):
+                out.append((ox, oy, oz))
+    return out
+
+
+def make_ww_kernel(p: TileParams, wm: WaterModel, box, *, style: str,
+                   alpha: float, rc: float, interpret: bool = False):
+    """Build the fused kernel: wt (gx,gy,gz,8,A) → out (gx,gy,gz,8,A)."""
+    gx, gy, gz = p.grid
+    if min(p.grid) < 3:
+        raise ValueError(
+            "pallas water-water kernel needs grid ≥ 3 per dim (the 27 "
+            "stencil views would alias); use tiled.forces.water_water")
+    A = 3 * p.W
+    bx, by, bz = (float(b) for b in np.asarray(box))
+    rc2 = rc * rc
+    c6_OO, c12_OO, esh_OO = wm.c6_OO, wm.c12_OO, wm.eshift_OO
+    offsets = _offsets()
+
+    if style == "dsf":
+        erfc_rc = math.erfc(alpha * rc)
+        e_sh = erfc_rc / rc
+        f_sh = erfc_rc / rc**2 + (
+            TWO_OVER_SQRT_PI * alpha * math.exp(-((alpha * rc) ** 2)) / rc)
+
+    def kernel(*refs):
+        out_ref = refs[-1]
+        self_tile = refs[13][0, 0, 0]           # offset (0,0,0)
+        xi = [self_tile[d, :] for d in range(3)]
+        qi = self_tile[3, :]
+        lji = self_tile[4, :]
+        vi = self_tile[5, :]
+
+        fx = jnp.zeros((A,), jnp.float32)
+        fy = jnp.zeros((A,), jnp.float32)
+        fz = jnp.zeros((A,), jnp.float32)
+        e_lj_at = jnp.zeros((A,), jnp.float32)
+        e_c_at = jnp.zeros((A,), jnp.float32)
+        phi = jnp.zeros((A,), jnp.float32)
+
+        slot = jax.lax.broadcasted_iota(jnp.int32, (A, A), 0)
+        slot_j = jax.lax.broadcasted_iota(jnp.int32, (A, A), 1)
+        not_same_mol = ((slot // 3) != (slot_j // 3)).astype(jnp.float32)
+
+        for k, off in enumerate(offsets):
+            tile = refs[k][0, 0, 0]
+            dxd = []
+            r2 = None
+            for d, L in enumerate((bx, by, bz)):
+                dd = xi[d][:, None] - tile[d, :][None, :]
+                dd = dd - L * jnp.round(dd * (1.0 / L))
+                dxd.append(dd)
+                r2 = dd * dd if r2 is None else r2 + dd * dd
+            w = vi[:, None] * tile[5, :][None, :]
+            if off == (0, 0, 0):
+                w = w * not_same_mol
+            r2 = jnp.where(w > 0, jnp.maximum(r2, R2_MIN), rc2 + 1.0)
+            in_rc = (r2 < rc2).astype(jnp.float32)
+            inv_r2 = 1.0 / r2
+            r = jnp.sqrt(r2)
+
+            # LJ (O-O only via the lj-mask rows)
+            ljp = lji[:, None] * tile[4, :][None, :]
+            inv_r6 = inv_r2 * inv_r2 * inv_r2
+            e_lj_p = ((c12_OO * inv_r6 - c6_OO) * inv_r6 - esh_OO) \
+                * ljp * in_rc
+            f_lj = (12.0 * c12_OO * inv_r6 - 6.0 * c6_OO) * inv_r6 \
+                * inv_r2 * ljp * in_rc
+
+            # Coulomb
+            if alpha > 0.0:
+                ar = alpha * r
+                erfc_ar = jax.scipy.special.erfc(ar)
+                gauss = TWO_OVER_SQRT_PI * ar * jnp.exp(-ar * ar)
+            else:
+                erfc_ar = jnp.ones_like(r)
+                gauss = jnp.zeros_like(r)
+            if style == "dsf":
+                u_r = erfc_ar / r - e_sh + f_sh * (r - rc)
+                w_r = (erfc_ar + gauss) * inv_r2 / r - f_sh / r
+            else:
+                u_r = erfc_ar / r
+                w_r = (erfc_ar + gauss) * inv_r2 / r
+            u_r = u_r * in_rc
+            w_r = w_r * in_rc
+            qj = tile[3, :][None, :]
+            kqq = units.QQR2E * qi[:, None] * qj
+            e_c_p = kqq * u_r
+            f_c = kqq * w_r
+
+            fpair = f_lj + f_c
+            fx = fx + jnp.sum(fpair * dxd[0], axis=1)
+            fy = fy + jnp.sum(fpair * dxd[1], axis=1)
+            fz = fz + jnp.sum(fpair * dxd[2], axis=1)
+            e_lj_at = e_lj_at + 0.5 * jnp.sum(e_lj_p, axis=1)
+            e_c_at = e_c_at + 0.5 * jnp.sum(e_c_p, axis=1)
+            phi = phi + units.QQR2E * jnp.sum(qj * u_r, axis=1)
+
+        out = jnp.zeros((8, A), jnp.float32)
+        out = out.at[0, :].set(fx)
+        out = out.at[1, :].set(fy)
+        out = out.at[2, :].set(fz)
+        out = out.at[3, :].set(e_lj_at)
+        out = out.at[4, :].set(e_c_at)
+        out = out.at[5, :].set(phi)
+        out_ref[0, 0, 0] = out
+
+    def imap(off):
+        ox, oy, oz = off
+        return lambda cx, cy, cz: ((cx + ox) % gx, (cy + oy) % gy,
+                                   (cz + oz) % gz, 0, 0)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, 1, 8, A), imap(off), memory_space=pltpu.VMEM)
+        for off in offsets
+    ]
+    out_spec = pl.BlockSpec(
+        (1, 1, 1, 8, A), lambda cx, cy, cz: (cx, cy, cz, 0, 0),
+        memory_space=pltpu.VMEM)
+
+    def call(wt):
+        return pl.pallas_call(
+            kernel,
+            grid=(gx, gy, gz),
+            in_specs=in_specs,
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((gx, gy, gz, 8, A), jnp.float32),
+            interpret=interpret,
+        )(*([wt] * len(offsets)))
+
+    return call
+
+
+def pack_water_tiles(wxg, wvalid, wm: WaterModel, p: TileParams):
+    """(3,gx,gy,gz,A) coords + (gx,gy,gz,W) validity → (gx,gy,gz,8,A)."""
+    gx, gy, gz = p.grid
+    A = 3 * p.W
+    dtype = wxg.dtype
+    q_pat = jnp.asarray(np.tile(wm.q_pattern, p.W), dtype=dtype)
+    lj_pat = jnp.asarray(np.tile([1.0, 0.0, 0.0], p.W), dtype=dtype)
+    vm = jnp.repeat(wvalid, 3, axis=-1)                     # (gx,gy,gz,A)
+    rows = [wxg[0], wxg[1], wxg[2],
+            q_pat[None, None, None, :] * vm,
+            lj_pat[None, None, None, :] * vm,
+            vm,
+            jnp.zeros_like(vm), jnp.zeros_like(vm)]
+    return jnp.stack(rows, axis=3)                          # (gx,gy,gz,8,A)
+
+
+def water_water_pallas(wxg, wvalid, wm: WaterModel, p: TileParams, box, *,
+                       style, alpha, rc, interpret=False):
+    """Drop-in replacement for tiled.forces.water_water."""
+    call = make_ww_kernel(p, wm, box, style=style, alpha=alpha, rc=rc,
+                          interpret=interpret)
+    wt = pack_water_tiles(wxg, wvalid, wm, p)
+    out = call(wt)
+    f = [out[..., d, :] for d in range(3)]
+    eatom = out[..., 3, :] + out[..., 4, :]
+    phi = out[..., 5, :]
+    e_lj = jnp.sum(out[..., 3, :])
+    e_coul = jnp.sum(out[..., 4, :])
+    return e_lj, e_coul, f, eatom, phi

@@ -79,25 +79,30 @@ def main():
     eng = TiledEngine(ts_cal, cfg, bias=bias)
 
     # chunk device calls: a single multi-minute call can trip the remote
-    # runtime's watchdog
+    # runtime's watchdog. Two walkers per pH (protonated/deprotonated
+    # starts) bracket the equilibrium: matching walkers = converged,
+    # disagreeing walkers expose hysteresis honestly.
     chunk = 25_000
     run_chunk = jax.jit(eng.make_run(chunk))
     results = []
     for ph in [float(p) for p in args.ph.split(",")]:
-        st = tst0.replace(pH=jnp.asarray(ph, tst0.pH.dtype),
-                          lam=jnp.full_like(tst0.lam, 0.5))
-        lams = []
-        ov = False
-        for _ in range(max(1, args.steps // chunk)):
-            st, ov_i, obs = run_chunk(st)
-            ov = ov or bool(ov_i)
-            lams.append(np.asarray(obs.lam))
-        lam = np.concatenate(lams)
-        frac = float(protonation_fraction(lam)[0])
-        results.append({"pH": ph, "deprotonated": frac,
+        fr = {}
+        for tag, lam0 in (("up", 0.05), ("down", 0.95)):
+            st = tst0.replace(pH=jnp.asarray(ph, tst0.pH.dtype),
+                              lam=jnp.full_like(tst0.lam, lam0))
+            lams = []
+            ov = False
+            for _ in range(max(1, args.steps // chunk)):
+                st, ov_i, obs = run_chunk(st)
+                ov = ov or bool(ov_i)
+                lams.append(np.asarray(obs.lam))
+            lam = np.concatenate(lams)
+            fr[tag] = float(protonation_fraction(lam)[0])
+        results.append({"pH": ph, "deprotonated_up": fr["up"],
+                        "deprotonated_down": fr["down"],
                         "hh": float(hh_curve(args.pk, ph))})
-        print(f"# pH {ph}: deprot {frac:.3f} (HH {results[-1]['hh']:.3f}) "
-              f"overflow={bool(ov)}", file=sys.stderr)
+        print(f"# pH {ph}: deprot up {fr['up']:.3f} / down {fr['down']:.3f}"
+              f" (HH {results[-1]['hh']:.3f})", file=sys.stderr)
     print(json.dumps({"dG_ref": dG, "curve": results}))
 
 

@@ -32,6 +32,16 @@ from constant_ph_tpu.ops.kernels import R2_MIN, TWO_OVER_SQRT_PI
 from constant_ph_tpu.tiled.layout import TileParams, WaterModel
 
 
+def _erfc_pos(x, expmx2):
+    """erfc(x) for x ≥ 0 via Abramowitz–Stegun 7.1.26 (|ε| < 1.5e-7 —
+    below f32 resolution; Mosaic has no native erfc lowering).
+    `expmx2` = exp(−x²), shared with the Ewald gaussian term."""
+    t = 1.0 / (1.0 + 0.3275911 * x)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+                + t * (-1.453152027 + t * 1.061405429))))
+    return poly * expmx2
+
+
 def _offsets():
     out = []
     for ox in (-1, 0, 1):
@@ -41,16 +51,16 @@ def _offsets():
     return out
 
 
-def make_ww_kernel(p: TileParams, wm: WaterModel, box, *, style: str,
+def make_ww_kernel(p: TileParams, wm: WaterModel, *, style: str,
                    alpha: float, rc: float, interpret: bool = False):
-    """Build the fused kernel: wt (gx,gy,gz,8,A) → out (gx,gy,gz,8,A)."""
+    """Build the fused kernel: (box (1,3), wt (gx,gy,gz,8,A)) →
+    out (gx,gy,gz,8,A). Box rides in SMEM (jit-traceable, NPT-ready)."""
     gx, gy, gz = p.grid
     if min(p.grid) < 3:
         raise ValueError(
             "pallas water-water kernel needs grid ≥ 3 per dim (the 27 "
             "stencil views would alias); use tiled.forces.water_water")
     A = 3 * p.W
-    bx, by, bz = (float(b) for b in np.asarray(box))
     rc2 = rc * rc
     c6_OO, c12_OO, esh_OO = wm.c6_OO, wm.c12_OO, wm.eshift_OO
     offsets = _offsets()
@@ -61,110 +71,118 @@ def make_ww_kernel(p: TileParams, wm: WaterModel, box, *, style: str,
         f_sh = erfc_rc / rc**2 + (
             TWO_OVER_SQRT_PI * alpha * math.exp(-((alpha * rc) ** 2)) / rc)
 
-    def kernel(*refs):
-        out_ref = refs[-1]
-        self_tile = refs[13][0, 0, 0]           # offset (0,0,0)
+    # The 27-offset stencil is a GRID dimension (matmul-K-style
+    # accumulation): one offset body per grid step keeps VMEM pressure at a
+    # handful of (A, A) temporaries (a fully unrolled 27-offset body
+    # overflowed the 16 MB VMEM stack), and the out block — whose index_map
+    # ignores k — stays resident across the inner k sweep.
+
+    def kernel(box_ref, self_ref, nbr_ref, out_ref):
+        k = pl.program_id(3)
+        bx = box_ref[0, 0]
+        by = box_ref[0, 1]
+        bz = box_ref[0, 2]
+        self_tile = self_ref[0, 0, 0]
+        tile = nbr_ref[0, 0, 0]
         xi = [self_tile[d, :] for d in range(3)]
         qi = self_tile[3, :]
         lji = self_tile[4, :]
         vi = self_tile[5, :]
 
-        fx = jnp.zeros((A,), jnp.float32)
-        fy = jnp.zeros((A,), jnp.float32)
-        fz = jnp.zeros((A,), jnp.float32)
-        e_lj_at = jnp.zeros((A,), jnp.float32)
-        e_c_at = jnp.zeros((A,), jnp.float32)
-        phi = jnp.zeros((A,), jnp.float32)
-
+        dxd = []
+        r2 = None
+        for d, L in enumerate((bx, by, bz)):
+            dd = xi[d][:, None] - tile[d, :][None, :]
+            dd = dd - L * jnp.round(dd * (1.0 / L))
+            dxd.append(dd)
+            r2 = dd * dd if r2 is None else r2 + dd * dd
+        w = vi[:, None] * tile[5, :][None, :]
+        # self offset (k == 13): exclude same-molecule pairs (incl. i==j)
         slot = jax.lax.broadcasted_iota(jnp.int32, (A, A), 0)
         slot_j = jax.lax.broadcasted_iota(jnp.int32, (A, A), 1)
         not_same_mol = ((slot // 3) != (slot_j // 3)).astype(jnp.float32)
+        w = w * jnp.where(k == 13, not_same_mol, 1.0)
 
-        for k, off in enumerate(offsets):
-            tile = refs[k][0, 0, 0]
-            dxd = []
-            r2 = None
-            for d, L in enumerate((bx, by, bz)):
-                dd = xi[d][:, None] - tile[d, :][None, :]
-                dd = dd - L * jnp.round(dd * (1.0 / L))
-                dxd.append(dd)
-                r2 = dd * dd if r2 is None else r2 + dd * dd
-            w = vi[:, None] * tile[5, :][None, :]
-            if off == (0, 0, 0):
-                w = w * not_same_mol
-            r2 = jnp.where(w > 0, jnp.maximum(r2, R2_MIN), rc2 + 1.0)
-            in_rc = (r2 < rc2).astype(jnp.float32)
-            inv_r2 = 1.0 / r2
-            r = jnp.sqrt(r2)
+        r2 = jnp.where(w > 0, jnp.maximum(r2, R2_MIN), rc2 + 1.0)
+        in_rc = (r2 < rc2).astype(jnp.float32)
+        inv_r2 = 1.0 / r2
+        r = jnp.sqrt(r2)
 
-            # LJ (O-O only via the lj-mask rows)
-            ljp = lji[:, None] * tile[4, :][None, :]
-            inv_r6 = inv_r2 * inv_r2 * inv_r2
-            e_lj_p = ((c12_OO * inv_r6 - c6_OO) * inv_r6 - esh_OO) \
-                * ljp * in_rc
-            f_lj = (12.0 * c12_OO * inv_r6 - 6.0 * c6_OO) * inv_r6 \
-                * inv_r2 * ljp * in_rc
+        # LJ (O-O only via the lj-mask rows)
+        ljp = lji[:, None] * tile[4, :][None, :]
+        inv_r6 = inv_r2 * inv_r2 * inv_r2
+        e_lj_p = ((c12_OO * inv_r6 - c6_OO) * inv_r6 - esh_OO) * ljp * in_rc
+        f_lj = (12.0 * c12_OO * inv_r6 - 6.0 * c6_OO) * inv_r6 \
+            * inv_r2 * ljp * in_rc
 
-            # Coulomb
-            if alpha > 0.0:
-                ar = alpha * r
-                erfc_ar = jax.scipy.special.erfc(ar)
-                gauss = TWO_OVER_SQRT_PI * ar * jnp.exp(-ar * ar)
-            else:
-                erfc_ar = jnp.ones_like(r)
-                gauss = jnp.zeros_like(r)
-            if style == "dsf":
-                u_r = erfc_ar / r - e_sh + f_sh * (r - rc)
-                w_r = (erfc_ar + gauss) * inv_r2 / r - f_sh / r
-            else:
-                u_r = erfc_ar / r
-                w_r = (erfc_ar + gauss) * inv_r2 / r
-            u_r = u_r * in_rc
-            w_r = w_r * in_rc
-            qj = tile[3, :][None, :]
-            kqq = units.QQR2E * qi[:, None] * qj
-            e_c_p = kqq * u_r
-            f_c = kqq * w_r
+        # Coulomb
+        if alpha > 0.0:
+            ar = alpha * r
+            expmx2 = jnp.exp(-ar * ar)
+            erfc_ar = _erfc_pos(ar, expmx2)
+            gauss = TWO_OVER_SQRT_PI * ar * expmx2
+        else:
+            erfc_ar = jnp.ones_like(r)
+            gauss = jnp.zeros_like(r)
+        if style == "dsf":
+            u_r = erfc_ar / r - e_sh + f_sh * (r - rc)
+            w_r = (erfc_ar + gauss) * inv_r2 / r - f_sh / r
+        else:
+            u_r = erfc_ar / r
+            w_r = (erfc_ar + gauss) * inv_r2 / r
+        u_r = u_r * in_rc
+        w_r = w_r * in_rc
+        qj = tile[3, :][None, :]
+        kqq = units.QQR2E * qi[:, None] * qj
+        e_c_p = kqq * u_r
+        f_c = kqq * w_r
 
-            fpair = f_lj + f_c
-            fx = fx + jnp.sum(fpair * dxd[0], axis=1)
-            fy = fy + jnp.sum(fpair * dxd[1], axis=1)
-            fz = fz + jnp.sum(fpair * dxd[2], axis=1)
-            e_lj_at = e_lj_at + 0.5 * jnp.sum(e_lj_p, axis=1)
-            e_c_at = e_c_at + 0.5 * jnp.sum(e_c_p, axis=1)
-            phi = phi + units.QQR2E * jnp.sum(qj * u_r, axis=1)
+        fpair = f_lj + f_c
+        zero = jnp.zeros((A,), jnp.float32)
+        contrib = jnp.stack(
+            [jnp.sum(fpair * dxd[0], axis=1),
+             jnp.sum(fpair * dxd[1], axis=1),
+             jnp.sum(fpair * dxd[2], axis=1),
+             0.5 * jnp.sum(e_lj_p, axis=1),
+             0.5 * jnp.sum(e_c_p, axis=1),
+             units.QQR2E * jnp.sum(qj * u_r, axis=1),
+             zero, zero], axis=0)
 
-        out = jnp.zeros((8, A), jnp.float32)
-        out = out.at[0, :].set(fx)
-        out = out.at[1, :].set(fy)
-        out = out.at[2, :].set(fz)
-        out = out.at[3, :].set(e_lj_at)
-        out = out.at[4, :].set(e_c_at)
-        out = out.at[5, :].set(phi)
-        out_ref[0, 0, 0] = out
+        @pl.when(k == 0)
+        def _():
+            out_ref[0, 0, 0] = contrib
 
-    def imap(off):
-        ox, oy, oz = off
-        return lambda cx, cy, cz: ((cx + ox) % gx, (cy + oy) % gy,
-                                   (cz + oz) % gz, 0, 0)
+        @pl.when(k != 0)
+        def _():
+            out_ref[0, 0, 0] = out_ref[0, 0, 0] + contrib
+
+    def nbr_imap(cx, cy, cz, k):
+        return ((cx + k // 9 - 1) % gx,
+                (cy + (k // 3) % 3 - 1) % gy,
+                (cz + k % 3 - 1) % gz, 0, 0)
 
     in_specs = [
-        pl.BlockSpec((1, 1, 1, 8, A), imap(off), memory_space=pltpu.VMEM)
-        for off in offsets
+        pl.BlockSpec((1, 3), lambda cx, cy, cz, k: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, 1, 8, A),
+                     lambda cx, cy, cz, k: (cx, cy, cz, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1, 8, A), nbr_imap, memory_space=pltpu.VMEM),
     ]
     out_spec = pl.BlockSpec(
-        (1, 1, 1, 8, A), lambda cx, cy, cz: (cx, cy, cz, 0, 0),
+        (1, 1, 1, 8, A), lambda cx, cy, cz, k: (cx, cy, cz, 0, 0),
         memory_space=pltpu.VMEM)
 
-    def call(wt):
+    def call(box, wt):
+        box2 = jnp.reshape(box.astype(jnp.float32), (1, 3))
         return pl.pallas_call(
             kernel,
-            grid=(gx, gy, gz),
+            grid=(gx, gy, gz, 27),
             in_specs=in_specs,
             out_specs=out_spec,
             out_shape=jax.ShapeDtypeStruct((gx, gy, gz, 8, A), jnp.float32),
             interpret=interpret,
-        )(*([wt] * len(offsets)))
+        )(box2, wt, wt)
 
     return call
 
@@ -188,10 +206,10 @@ def pack_water_tiles(wxg, wvalid, wm: WaterModel, p: TileParams):
 def water_water_pallas(wxg, wvalid, wm: WaterModel, p: TileParams, box, *,
                        style, alpha, rc, interpret=False):
     """Drop-in replacement for tiled.forces.water_water."""
-    call = make_ww_kernel(p, wm, box, style=style, alpha=alpha, rc=rc,
+    call = make_ww_kernel(p, wm, style=style, alpha=alpha, rc=rc,
                           interpret=interpret)
     wt = pack_water_tiles(wxg, wvalid, wm, p)
-    out = call(wt)
+    out = call(box, wt)
     f = [out[..., d, :] for d in range(3)]
     eatom = out[..., 3, :] + out[..., 4, :]
     phi = out[..., 5, :]

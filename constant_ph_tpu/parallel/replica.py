@@ -77,6 +77,25 @@ def make_rex_runner(engine, md_steps_per_swap: int):
     return block
 
 
-def stack_replicas(states: list[SystemState]) -> SystemState:
-    """Stack per-replica states into one batched SystemState."""
+def stack_replicas(states: list) -> SystemState:
+    """Stack per-replica states (SystemState or TiledState) into one batch."""
     return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+
+
+def make_rex_runner_tiled(engine, md_steps_per_swap: int):
+    """Replica-exchange block on the tiled engine:
+    (tiled_states_batched, key, parity) -> (states, key, accept, obs_last).
+
+    Shard the leading replica axis over a mesh for one-replica-per-chip
+    execution (BASELINE config 5 over ICI).
+    """
+    run = engine.make_run(md_steps_per_swap)
+
+    def block(states, key, parity):
+        states, overflow, obs = jax.vmap(run)(states)
+        key, k_swap = jax.random.split(key)
+        states, accepted = swap_phs(states, k_swap, engine.bias, parity)
+        last_obs = jax.tree.map(lambda a: a[:, -1], obs)
+        return states, key, accepted, last_obs
+
+    return block

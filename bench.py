@@ -39,10 +39,10 @@ def main():
     with jax.default_device(cpu):
         sys_ = solvated_acid(
             n_side=20, rigid_water=True, lambda_coupled=True,
-            cutoff=8.0, skin=2.0, coul_style="dsf", alpha=0.2, pH=5.0,
+            cutoff=8.0, skin=0.8, coul_style="dsf", alpha=0.2, pH=5.0,
             hmr=3.0,
         )
-        ts = split_system(sys_, skin=2.0, tile_safety=1.28)
+        ts = split_system(sys_, skin=0.8, tile_safety=1.72)
         tst = to_tiled(ts, sys_.state)
     n_atoms = sys_.state.x.shape[0]
     log(f"built {n_atoms} atoms, grid {ts.params.grid}, W {ts.params.W}")
@@ -55,7 +55,7 @@ def main():
     dt = 2.0
     cfg_eq = EngineConfig(
         dt=0.5, thermostat="langevin", T=300.0, gamma=0.01,
-        lambda_thermostat="langevin", rebuild_every=20, force_cap=50.0,
+        lambda_thermostat="langevin", rebuild_every=8, force_cap=50.0,
     )
     eng_eq = TiledEngine(ts, cfg_eq)
     minimize = jax.jit(eng_eq.make_minimize(400))
@@ -74,7 +74,7 @@ def main():
 
     cfg = EngineConfig(
         dt=dt, thermostat="langevin", T=300.0, gamma=0.002,
-        lambda_thermostat="langevin", rebuild_every=20,
+        lambda_thermostat="langevin", rebuild_every=8,
     )
     eng = TiledEngine(ts, cfg)
     block_steps = cfg.rebuild_every
@@ -86,7 +86,7 @@ def main():
         tst, ov, obs = run_block(tst)
     jax.block_until_ready(tst.wx)
 
-    n_blocks = 25
+    n_blocks = 60
     t0 = time.perf_counter()
     for _ in range(n_blocks):
         tst, ov, obs = run_block(tst)

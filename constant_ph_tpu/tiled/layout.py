@@ -288,8 +288,11 @@ def split_system(system, *, skin=2.0, tile_safety=1.6) -> TiledSystem:
             bt.astype(np.int32), np.asarray(tables.mass), d_OH, d_HH)
 
     box = np.asarray(system.state.box)
+    # centroid binning: max atom-to-centroid distance for a rigid triatomic
+    # is |2·h1 − h2|/3 ≈ 0.84·d_OH (plus slack)
     params = make_tile_params(box, pp.cutoff, skin=skin,
-                              mol_radius=d_OH + 0.05, safety=tile_safety)
+                              mol_radius=0.87 * d_OH + 0.05,
+                              safety=tile_safety)
     return TiledSystem(
         params=params, water=water, solute_tables=tables, spec=spec,
         bonded=bonded, groupH_mask=jnp.asarray(gh),
@@ -311,7 +314,14 @@ def to_tiled(ts: TiledSystem, state: SystemState) -> TiledState:
     Mw = ts.water_atom_ids.shape[0]
     grid = np.array(p.grid)
     cell = box / grid
-    o_pos = wrap(jnp.asarray(x[ts.water_atom_ids[:, 0]]), jnp.asarray(box))
+    # bin by molecule CENTROID (max atom offset 0.84 Å for 3-site water vs
+    # 1.0 Å for the O atom — permits smaller cells); unwrap satellites into
+    # the O image first in case input molecules straddle the box seam
+    xm_all = x[ts.water_atom_ids]                         # (Mw, 3atoms, 3)
+    rel = xm_all - xm_all[:, :1, :]
+    rel -= box[None, None, :] * np.round(rel / box[None, None, :])
+    cen = xm_all[:, 0, :] + rel.mean(axis=1)
+    o_pos = wrap(jnp.asarray(cen), jnp.asarray(box))
     ci = np.clip((np.asarray(o_pos) // cell).astype(np.int64), 0, grid - 1)
     cid = (ci[:, 0] * grid[1] + ci[:, 1]) * grid[2] + ci[:, 2]
     order = np.argsort(cid, kind="stable")
@@ -403,9 +413,14 @@ def rebin(tstate: TiledState, p: TileParams):
     valid = tstate.wvalid.reshape(G * W)
     wid = tstate.wid.reshape(G * W)
 
-    # row layout is (dim, atom)-flattened: [xO xH1 xH2 yO yH1 yH2 zO ...],
-    # so the O coordinates sit at columns 0, 3, 6
-    o_pos = xm[:, ::3]                                  # (G*W, 3) O coords
+    # row layout is (dim, atom)-flattened: [xO xH1 xH2 yO yH1 yH2 zO ...];
+    # bin by molecule centroid: PBC-unwrap the satellites into the O image
+    # first (a molecule straddling the box seam must not average across it)
+    o_only = xm[:, ::3]                                 # (G*W, 3) O coords
+    mol = xm.reshape(-1, 3, 3)                          # (G*W, dim, atom)
+    rel = mol - o_only[:, :, None]
+    rel = rel - box[None, :, None] * jnp.round(rel / box[None, :, None])
+    o_pos = o_only + jnp.mean(rel, axis=2)              # centroid
     ow = o_pos - box[None, :] * jnp.floor(o_pos / box[None, :])
     cell = (box / jnp.asarray(p.grid, dtype=dtype))[None, :]
     ci = jnp.clip((ow / cell).astype(jnp.int32), 0, grid[None, :] - 1)

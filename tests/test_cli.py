@@ -1,0 +1,54 @@
+"""CLI smoke tests (the layer-D user surface)."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from constant_ph_tpu.cli import main
+
+
+def _write_cfg(tmp_path, tiled):
+    cfg = {
+        "system": {
+            "builder": "solvated_acid",
+            "n_side": 3, "pH": 5.0, "pK": 4.25, "cutoff": 4.5,
+            "coul_style": "dsf", "alpha": 0.2, "rigid_water": True,
+        },
+        "engine": {
+            "dt": 1.0, "thermostat": "langevin", "T": 300.0,
+            "gamma": 0.01, "lambda_thermostat": "langevin",
+            "rebuild_every": 5,
+        },
+        "run": {
+            "steps": 40, "minimize_steps": 20, "observe_every": 10,
+            "tiled": tiled,
+            "checkpoint": str(tmp_path / "ck.npz"),
+            "output": str(tmp_path / "obs.jsonl"),
+        },
+    }
+    p = str(tmp_path / "cfg.json")
+    with open(p, "w") as fh:
+        json.dump(cfg, fh)
+    return p
+
+
+@pytest.mark.parametrize("tiled", [False, True])
+def test_cli_run(tmp_path, capsys, tiled):
+    p = _write_cfg(tmp_path, tiled)
+    main(["run", p])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    summary = json.loads(out)
+    assert summary["steps"] == 40
+    assert np.isfinite(summary["e_pot"])
+    assert os.path.exists(str(tmp_path / "ck.npz"))
+    lines = open(str(tmp_path / "obs.jsonl")).read().strip().splitlines()
+    assert len(lines) == 4
+
+
+def test_cli_titrate(tmp_path, capsys):
+    p = _write_cfg(tmp_path, False)
+    main(["titrate", p, "--ph", "4.0,5.0"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["pH"] == [4.0, 5.0]
+    assert len(out["deprotonated_fraction"]) == 2

@@ -73,15 +73,27 @@ def make_ewald_params(
         nmax = (kmax, kmax, kmax)
         k_cut = 2 * np.pi * kmax / box.min()
 
-    ns = [np.arange(-m, m + 1) for m in nmax]
+    # hermitian half space: S(−k) = conj(S(k)), so the full-cube sum equals
+    # the half-space sum with doubled weights. All downstream formulas are
+    # linear in the prefactor A, so the weights are absorbed into A and the
+    # kx range shrinks to [0, nmax] — ~2× fewer phases and matmul columns.
+    ns = [np.arange(0, nmax[0] + 1),
+          np.arange(-nmax[1], nmax[1] + 1),
+          np.arange(-nmax[2], nmax[2] + 1)]
     kx = 2 * np.pi * ns[0] / box[0]
     ky = 2 * np.pi * ns[1] / box[1]
     kz = 2 * np.pi * ns[2] / box[2]
     KX, KY, KZ = np.meshgrid(kx, ky, kz, indexing="ij")
+    NX, NY, NZ = np.meshgrid(ns[0], ns[1], ns[2], indexing="ij")
     k2 = KX**2 + KY**2 + KZ**2
     mask = (k2 > 1e-12) & (np.sqrt(k2) <= k_cut + 1e-12)
+    # keep exactly one of each ±k pair: nx>0 fully; on the nx=0 plane keep
+    # ny>0 plus the (ny=0, nz>0) half-line — each with weight 2
+    half = (NX > 0) | ((NX == 0) & (NY > 0)) \
+        | ((NX == 0) & (NY == 0) & (NZ > 0))
+    mask &= half
     with np.errstate(divide="ignore", invalid="ignore"):
-        A = np.where(mask, np.exp(-k2 / (4 * alpha * alpha)) / k2, 0.0)
+        A = np.where(mask, 2.0 * np.exp(-k2 / (4 * alpha * alpha)) / k2, 0.0)
     A *= units.QQR2E * 2.0 * np.pi / V
 
     My, Mz = len(ky), len(kz)
@@ -127,11 +139,15 @@ def ewald_recip_xd(xd, q, ep: EwaldParams):
     dtype = q.dtype
     (exr, exi), (eyr, eyi), (ezr, ezi) = _phase_tables_xd(xd, ep)
 
-    # fused yz phase table T1 = Ey ⊙ Ez, gathered to (N, My·Mz)
-    ar, ai = eyr[:, ep.ky_idx], eyi[:, ep.ky_idx]
-    br, bi = ezr[:, ep.kz_idx], ezi[:, ep.kz_idx]
-    t1r = ar * br - ai * bi
-    t1i = ar * bi + ai * br
+    # fused yz phase table T1 = Ey ⊙ Ez via broadcast outer products —
+    # per-element column gathers are pathologically slow on TPU
+    n = q.shape[0]
+    My = eyr.shape[1]
+    Mz = ezr.shape[1]
+    t1r = (eyr[:, :, None] * ezr[:, None, :]
+           - eyi[:, :, None] * ezi[:, None, :]).reshape(n, My * Mz)
+    t1i = (eyr[:, :, None] * ezi[:, None, :]
+           + eyi[:, :, None] * ezr[:, None, :]).reshape(n, My * Mz)
 
     # S[nx, yz] = Σ_i q_i Ex[i,nx] T1[i,yz]   (4 real MXU matmuls)
     qexr = q[:, None] * exr
@@ -145,39 +161,52 @@ def ewald_recip_xd(xd, q, ep: EwaldParams):
         a, b, (((0,), (0,)), ((), ())), preferred_element_type=f32,
         precision=hi,
     )
-    sr = mm(qexr, t1r) - mm(qexi, t1i)      # (Mx, MyMz)
-    si = mm(qexr, t1i) + mm(qexi, t1r)
+    # stack the Mx-side operands so each big (N, MyMz) array is read once
+    # per matmul instead of once per pass — the recip path is HBM-bound on
+    # these reads, not MXU-bound
+    Mx = exr.shape[1]
+    qex = jnp.concatenate([qexr, qexi], axis=1)          # (N, 2Mx)
+    sr_si_r = mm(qex, t1r)                               # (2Mx, MyMz)
+    sr_si_i = mm(qex, t1i)
+    sr = sr_si_r[:Mx] - sr_si_i[Mx:]
+    si = sr_si_i[:Mx] + sr_si_r[Mx:]
 
     A = ep.A
     e_rec = jnp.sum(A * (sr * sr + si * si))
 
     # G = A·conj(S); weighted variants fold in k_y/k_z; k_x folds into the
     # Ex contraction afterwards (it depends only on nx).
-    ky_yz = ep.ky[ep.ky_idx]                # (MyMz,)
-    kz_yz = ep.kz[ep.kz_idx]
+    ky_yz = jnp.repeat(ep.ky, Mz)           # (MyMz,) — ij meshgrid order
+    kz_yz = jnp.tile(ep.kz, My)
     mmT = lambda a, b: jax.lax.dot_general(
         a, b, (((1,), (1,)), ((), ())), preferred_element_type=f32,
         precision=hi,
     )  # (N, MyMz) @ (Mx, MyMz)^T -> (N, Mx)
 
-    def contract(gr, gi):
-        """W[i,nx] = Σ_yz T1[i,yz]·G[nx,yz] (complex) → (N, Mx) r/i."""
-        wr = mmT(t1r, gr) - mmT(t1i, gi)
-        wi = mmT(t1r, gi) + mmT(t1i, gr)
+    gr0, gi0 = A * sr, -(A * si)            # A·conj(S)
+    # all six G variants in one stacked operand: (6Mx, MyMz)
+    Gs = jnp.concatenate([
+        gr0, gi0,
+        ky_yz[None, :] * gr0, ky_yz[None, :] * gi0,
+        kz_yz[None, :] * gr0, kz_yz[None, :] * gi0,
+    ], axis=0)
+    R = mmT(t1r, Gs)                        # (N, 6Mx)
+    I = mmT(t1i, Gs)
+
+    def w_pair(s):
+        wr = R[:, s * Mx:(s + 1) * Mx] - I[:, (s + 1) * Mx:(s + 2) * Mx]
+        wi = I[:, s * Mx:(s + 1) * Mx] + R[:, (s + 1) * Mx:(s + 2) * Mx]
         return wr, wi
 
-    gr0, gi0 = A * sr, -(A * si)            # A·conj(S)
-    w0r, w0i = contract(gr0, gi0)
+    w0r, w0i = w_pair(0)
     # P = Ex·T1; Re[conj(S)·A·P] summed over k → φ/2
-    re_sum = jnp.sum(exr * w0r - exi * w0i, axis=1)
-    im_sum = jnp.sum(exr * w0i + exi * w0r, axis=1)
-    phi = 2.0 * re_sum
+    phi = 2.0 * jnp.sum(exr * w0r - exi * w0i, axis=1)
 
     # forces: F_d = 2 q Σ_k A·k_d·Im[conj(S)·P]
     fx = 2.0 * q * jnp.sum(ep.kx[None, :] * (exr * w0i + exi * w0r), axis=1)
-    wyr, wyi = contract(ky_yz[None, :] * gr0, ky_yz[None, :] * gi0)
+    wyr, wyi = w_pair(2)
     fy = 2.0 * q * jnp.sum(exr * wyi + exi * wyr, axis=1)
-    wzr, wzi = contract(kz_yz[None, :] * gr0, kz_yz[None, :] * gi0)
+    wzr, wzi = w_pair(4)
     fz = 2.0 * q * jnp.sum(exr * wzi + exi * wzr, axis=1)
 
     # self energy + neutralizing background

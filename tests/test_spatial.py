@@ -18,10 +18,11 @@ from constant_ph_tpu.tiled.layout import split_system, to_tiled
 
 @pytest.fixture(scope="module")
 def setup():
-    # box 51.2 → grid 4³ (cell 12.8) → shardable over 2 or 4 devices
-    sys_ = solvated_acid(n_side=16, rigid_water=True, lambda_coupled=True,
-                         cutoff=8.0, skin=2.0, coul_style="dsf", alpha=0.2,
-                         seed=6)
+    # dilute box → grid 4³ with small tiles: full sharding coverage at CPU
+    # test cost (the sharded/unsharded parity is layout math, not density)
+    sys_ = solvated_acid(n_side=8, spacing=6.4, rigid_water=True,
+                         lambda_coupled=True, cutoff=8.0, skin=2.0,
+                         coul_style="dsf", alpha=0.2, seed=6)
     ts = split_system(sys_)
     assert ts.params.grid == (4, 4, 4)
     tst = to_tiled(ts, sys_.state)

@@ -72,6 +72,20 @@ def main():
     jax.block_until_ready(tst.wx)
     log(f"equilibrated: T={float(obs.temp[-1]):.0f}K overflow={bool(ov)}")
 
+    # tighten tile capacity to the measured equilibrated occupancy: pair
+    # work scales as (3W)² and equilibrated water needs ~2/3 of the
+    # build-time safety margin (layout.retile)
+    import numpy as np
+
+    from constant_ph_tpu.tiled.layout import retile
+
+    occ_max = int(np.asarray(tst.wvalid).sum(axis=1).max())
+    with jax.default_device(cpu):
+        ts, tst = retile(ts, jax.tree.map(jnp.asarray, jax.device_get(tst)),
+                         occ_max + 6)
+    tst = jax.device_put(tst, dev)
+    log(f"retiled: occ_max {occ_max} -> W {ts.params.W}")
+
     cfg = EngineConfig(
         dt=dt, thermostat="langevin", T=300.0, gamma=0.002,
         lambda_thermostat="langevin", rebuild_every=8,

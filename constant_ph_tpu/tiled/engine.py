@@ -95,7 +95,14 @@ class TiledEngine:
             return ts.solute.q0
         return lambda_dyn.charges(ts.solute.q0, ts.spec, lam)
 
-    def compute_forces(self, st: TiledState) -> TiledForces:
+    def compute_forces(self, st: TiledState,
+                       need_tally: bool = False) -> TiledForces:
+        """Forces + energies (+ per-atom water tallies when `need_tally`).
+
+        The hot path skips the water eatom/φ per-atom tallies — only φ on
+        SOLUTE atoms feeds dU/dλ (λ sites and buffer waters live in the
+        solute set, layout.split_system), and water eatom is purely the
+        compute_Hs diagnostic (fix_constant_pH.cpp:177-280 parity mode)."""
         ts = self.ts
         p = ts.params
         gx, gy, gz = p.grid
@@ -106,7 +113,12 @@ class TiledEngine:
         wxg = st.wx.reshape(3, gx, gy, gz, 3 * W)
         wvg = st.wvalid.reshape(gx, gy, gz, W)
 
-        if self.use_pallas_ww:
+        fast_ok = min(p.grid) >= 3 and not need_tally
+        if fast_ok and not self.use_pallas_ww:
+            e_lj_ww, e_c_ww, f_ww = tforces.water_water_fast(
+                wxg, ts.water, p, box, style=style, alpha=alpha, rc=rc)
+            eatom_ww = jnp.zeros((gx, gy, gz, 3 * W), st.wx.dtype)
+        elif self.use_pallas_ww:
             from constant_ph_tpu.tiled.pallas_ww import water_water_pallas
 
             e_lj_ww, e_c_ww, f_ww, eatom_ww, phi_ww = water_water_pallas(
@@ -223,7 +235,7 @@ class TiledEngine:
         """Reference-parity HA/HB eatom diagnostic (fix_constant_pH.cpp:
         177-280): HA = Σ eatom, HB excludes the titratable-H group."""
         if frc is None:
-            frc = self.compute_forces(st)
+            frc = self.compute_forces(st, need_tally=True)
         vm_atoms = jnp.repeat(st.wvalid, 3, axis=-1)
         HA = (jnp.sum(frc.eatom_w * vm_atoms)
               + jnp.sum(frc.eatom_s * self.ts.solute.smask))

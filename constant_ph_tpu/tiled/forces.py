@@ -13,7 +13,12 @@ import jax.numpy as jnp
 from flax import struct
 
 from constant_ph_tpu import units
-from constant_ph_tpu.ops.kernels import R2_MIN, coul_kernel, lj_kernel
+from constant_ph_tpu.ops.kernels import (
+    R2_MIN,
+    TWO_OVER_SQRT_PI,
+    coul_kernel,
+    lj_kernel,
+)
 from constant_ph_tpu.state import min_image
 from constant_ph_tpu.tiled.layout import SoluteTables, TileParams, WaterModel
 
@@ -186,6 +191,161 @@ def solute_solute(sx, qs, st: SoluteTables, box, *, style, alpha, rc):
                      st.scoul, w, style=style, alpha=alpha, rc=rc,
                      double_sided=False)
     return bs.e_lj, bs.e_coul, jnp.stack(bs.fi, axis=-1), bs.eatom_i, bs.phi_i
+
+
+def _roll_shift(box, grid, off, dtype):
+    """Per-cell image shifts for a rolled neighbor tile.
+
+    `jnp.roll(x, -off)` hands cell i the coordinates of cell (i+off) mod g.
+    For boundary cells the source wrapped around the box; adding ±L puts the
+    neighbor in its contiguous image so dx needs NO per-pair min-image
+    rounding (coordinates must be box-wrapped at rebin time, which
+    layout.rebin/to_tiled guarantee). Returns 3 arrays broadcastable to
+    (gx, gy, gz, 1)."""
+    shifts = []
+    for d in range(3):
+        g = grid[d]
+        s = np.zeros(g, dtype=np.float32)
+        if off[d] == 1:
+            s[g - 1] = 1.0
+        elif off[d] == -1:
+            s[0] = -1.0
+        shape = [1, 1, 1, 1]
+        shape[d] = g
+        shifts.append(jnp.asarray(s.reshape(shape), dtype=dtype) * box[d])
+    return shifts
+
+
+def water_water_fast(wxg, wm: WaterModel, p: TileParams, box,
+                     *, style, alpha, rc):
+    """Hot-path water-water block: forces + total energies only.
+
+    Faster than :func:`water_water` by dropping per-pair work the MD step
+    never uses (SURVEY.md §7.3 item 3 — this block is ~80% of the step):
+      - no per-atom eatom/φ tallies (diagnostics go through the tally
+        oracle path in compute_Hs);
+      - no validity-mask multiplies: invalid slots are PARKED at unique
+        positions ≥ 100 Å apart (layout.rebin), so they fall outside the
+        cutoff arithmetic;
+      - no per-pair min-image rounding: rolled tiles get per-cell boundary
+        image shifts (coordinates are box-wrapped at rebin);
+      - LJ runs on the O-O sub-block only (1/9 of atom pairs) instead of
+        masked LJ math on all pairs;
+      - the charge-product matrix QQR2E·q_i·q_j is a static constant.
+
+    Requires grid ≥ 3 per dim. Validated against water_water in
+    tests/test_tiled.py."""
+    import math as _math
+
+    gx, gy, gz = p.grid
+    W = p.W
+    A = 3 * W
+    dtype = wxg.dtype
+    rc2 = rc * rc
+
+    q_pat = np.tile(np.asarray(wm.q_pattern, np.float64), W)
+    kqq = jnp.asarray(units.QQR2E * q_pat[:, None] * q_pat[None, :],
+                      dtype=dtype)                          # (A, A) static
+    a_idx = np.arange(A)
+    not_same_mol = jnp.asarray(
+        (a_idx[:, None] // 3) != (a_idx[None, :] // 3), dtype=dtype)
+    not_self_O = jnp.asarray(1.0 - np.eye(W), dtype=dtype)
+
+    if style == "dsf":
+        erfc_rc = _math.erfc(alpha * rc)
+        e_sh = erfc_rc / rc
+        f_sh = erfc_rc / rc**2 + (TWO_OVER_SQRT_PI * alpha
+                                  * _math.exp(-((alpha * rc) ** 2)) / rc)
+
+    def coul_uw(r2):
+        """(u_r, w_r) for unit charge product; r2 pre-clamped."""
+        inv_r = jax.lax.rsqrt(r2)
+        inv_r2 = inv_r * inv_r
+        r = r2 * inv_r
+        if alpha > 0.0:
+            ar = alpha * r
+            expm = jnp.exp(-(alpha * alpha) * r2)
+            t = 1.0 / (1.0 + 0.3275911 * ar)
+            poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+                        + t * (-1.453152027 + t * 1.061405429))))
+            erfc_ar = poly * expm
+            gauss = TWO_OVER_SQRT_PI * ar * expm
+        else:
+            erfc_ar = jnp.ones_like(r)
+            gauss = jnp.zeros_like(r)
+        if style == "dsf":
+            u_r = erfc_ar * inv_r - e_sh + f_sh * (r - rc)
+            w_r = (erfc_ar + gauss) * inv_r2 * inv_r - f_sh * inv_r
+        else:
+            u_r = erfc_ar * inv_r
+            w_r = (erfc_ar + gauss) * inv_r2 * inv_r
+        return u_r, w_r
+
+    def coul_block(xi, xj, mask):
+        """Coulomb forces/energy between atom tile sets; mask is a static
+        (A, A) exclusion (or None)."""
+        dx = [xi[d][..., :, None] - xj[d][..., None, :] for d in range(3)]
+        r2 = dx[0] * dx[0] + dx[1] * dx[1] + dx[2] * dx[2]
+        r2 = jnp.maximum(r2, R2_MIN)
+        in_rc = (r2 < rc2).astype(dtype)
+        if mask is not None:
+            in_rc = in_rc * mask
+        u_r, w_r = coul_uw(r2)
+        e_p = kqq * (u_r * in_rc)
+        fpair = kqq * (w_r * in_rc)
+        fi = tuple(jnp.sum(fpair * dx[d], axis=-1) for d in range(3))
+        fj = tuple(-jnp.sum(fpair * dx[d], axis=-2) for d in range(3))
+        return jnp.sum(e_p), fi, fj
+
+    def lj_block(xo_i, xo_j, mask):
+        """O-O LJ forces/energy; (..., W) coordinate tuples."""
+        dx = [xo_i[d][..., :, None] - xo_j[d][..., None, :] for d in range(3)]
+        r2 = dx[0] * dx[0] + dx[1] * dx[1] + dx[2] * dx[2]
+        r2 = jnp.maximum(r2, R2_MIN)
+        in_rc = (r2 < rc2).astype(dtype)
+        if mask is not None:
+            in_rc = in_rc * mask
+        inv_r2 = 1.0 / r2
+        inv_r6 = inv_r2 * inv_r2 * inv_r2
+        e_p = ((wm.c12_OO * inv_r6 - wm.c6_OO) * inv_r6
+               - wm.eshift_OO) * in_rc
+        fpair = (12.0 * wm.c12_OO * inv_r6 - 6.0 * wm.c6_OO) \
+            * inv_r6 * inv_r2 * in_rc
+        fi = tuple(jnp.sum(fpair * dx[d], axis=-1) for d in range(3))
+        fj = tuple(-jnp.sum(fpair * dx[d], axis=-2) for d in range(3))
+        return jnp.sum(e_p), fi, fj
+
+    xi = tuple(wxg[d] for d in range(3))
+    xo_i = tuple(wxg[d][..., 0::3] for d in range(3))       # (gx,gy,gz,W)
+
+    # self cell: full matrix (both orders) → halve the energy; forces from
+    # the i side already include both members of each pair
+    e_c, fi_c, _ = coul_block(xi, xi, not_same_mol)
+    e_coul = 0.5 * e_c
+    f = list(fi_c)
+    e_l, fi_l, _ = lj_block(xo_i, xo_i, not_self_O)
+    e_lj = 0.5 * e_l
+    fO = list(fi_l)
+
+    vaxes = (0, 1, 2)
+    for off in p.half_stencil:
+        sh = tuple(-o for o in off)
+        shifts = _roll_shift(box, p.grid, off, dtype)
+        xj = tuple(jnp.roll(wxg[d], sh, axis=vaxes) + shifts[d]
+                   for d in range(3))
+        ec, fi, fj = coul_block(xi, xj, None)
+        e_coul = e_coul + ec
+        xo_j = tuple(x[..., 0::3] for x in xj)
+        el, fiO, fjO = lj_block(xo_i, xo_j, None)
+        e_lj = e_lj + el
+        for d in range(3):
+            f[d] = f[d] + fi[d] + jnp.roll(fj[d], off, axis=vaxes)
+            fO[d] = fO[d] + fiO[d] + jnp.roll(fjO[d], off, axis=vaxes)
+
+    # fold the O-only LJ forces into the interleaved (O,H,H) layout once
+    for d in range(3):
+        f[d] = f[d].at[..., 0::3].add(fO[d])
+    return e_lj, e_coul, f
 
 
 def water_intra_ewald_correction(wm: WaterModel, n_waters, alpha: float):

@@ -25,6 +25,14 @@ from constant_ph_tpu.lambda_dyn import LambdaSpec
 from constant_ph_tpu.state import SystemState, wrap
 
 
+# invalid tile slots are parked at PARK_BASE + PARK_SPACING·flat_slot on all
+# three axes: unique positions ≥ √3·10 Å apart and ≥ 10⁴ Å from any real
+# atom, so the fast pair path (tiled.forces.water_water_fast) needs no
+# validity masking — parked pairs simply fall outside the cutoff
+PARK_BASE = 1.0e4
+PARK_SPACING = 10.0
+
+
 @struct.dataclass
 class TileParams:
     grid: tuple = struct.field(pytree_node=False)
@@ -330,6 +338,14 @@ def to_tiled(ts: TiledSystem, state: SystemState) -> TiledState:
     wvalid = np.zeros((G, W))
     wid = np.full((G, W), -1, dtype=np.int32)
     slot_count = np.zeros(G, dtype=np.int64)
+    # invalid slots are PARKED at unique far positions (≥ 17 Å apart, ≥ 10⁴ Å
+    # from the box) so the fast pair path needs no validity masks; real
+    # molecules are stored box-wrapped (by centroid image) so rolled tiles
+    # need only per-cell boundary shifts, not per-pair min-image
+    park = PARK_BASE + PARK_SPACING * np.arange(G * W, dtype=np.float64)
+    wx[:] = park.reshape(G, W)[None, :, :].repeat(3, axis=2).reshape(
+        1, G, 3 * W)
+    img = box[None, :] * np.floor(np.asarray(cen) / box[None, :])  # (Mw, 3)
     for m in order:
         c = cid[m]
         s = slot_count[c]
@@ -338,7 +354,7 @@ def to_tiled(ts: TiledSystem, state: SystemState) -> TiledState:
         slot_count[c] += 1
         ids = ts.water_atom_ids[m]
         for a in range(3):
-            wx[:, c, 3 * s + a] = x[ids[a]]
+            wx[:, c, 3 * s + a] = x[ids[a]] - img[m]
             wv[:, c, 3 * s + a] = v[ids[a]]
         wvalid[c, s] = 1.0
         wid[c, s] = m
@@ -393,6 +409,26 @@ def to_canonical(ts: TiledSystem, tstate: TiledState) -> SystemState:
     )
 
 
+def retile(ts: TiledSystem, tstate: TiledState, W: int):
+    """Re-tile with a new per-cell capacity W (host-side, boundary only).
+
+    Pair work scales as (3W)², and equilibrated water has strongly
+    sub-Poisson density fluctuations (σ ≈ √(S(0)·⟨N⟩) with S(0) ≈ 0.06),
+    so the build-time safety margin needed for arbitrary initial configs is
+    ~2× larger than production needs. Measure occupancy after equilibration
+    (max over cells of tstate.wvalid.sum(-1)) and retile with
+    W = max_occ + margin. Returns (new TiledSystem, new TiledState)."""
+    W = max(4, -(-int(W) // 4) * 4)
+    state = to_canonical(ts, tstate)
+    import copy
+
+    ts2 = copy.copy(ts)
+    ts2.params = TileParams(
+        grid=ts.params.grid, W=W, half_stencil=ts.params.half_stencil,
+        cutoff=ts.params.cutoff, skin=ts.params.skin)
+    return ts2, to_tiled(ts2, state)
+
+
 # ---------------------------------------------------------------------------
 # jittable re-binning (runs between scan blocks)
 # ---------------------------------------------------------------------------
@@ -421,7 +457,12 @@ def rebin(tstate: TiledState, p: TileParams):
     rel = mol - o_only[:, :, None]
     rel = rel - box[None, :, None] * jnp.round(rel / box[None, :, None])
     o_pos = o_only + jnp.mean(rel, axis=2)              # centroid
-    ow = o_pos - box[None, :] * jnp.floor(o_pos / box[None, :])
+    img = box[None, :] * jnp.floor(o_pos / box[None, :])
+    ow = o_pos - img
+    # wrap the whole molecule into the box by its centroid image (all three
+    # atoms shift together, so rigid geometry and intra-mol differences are
+    # untouched); guarantees the fast path's per-cell-shift PBC arithmetic
+    rows = rows.at[:, :9].add(-jnp.repeat(img, 3, axis=1))
     cell = (box / jnp.asarray(p.grid, dtype=dtype))[None, :]
     ci = jnp.clip((ow / cell).astype(jnp.int32), 0, grid[None, :] - 1)
     cid = (ci[:, 0] * gy + ci[:, 1]) * gz + ci[:, 2]
@@ -435,7 +476,12 @@ def rebin(tstate: TiledState, p: TileParams):
     dest = jnp.where(key_s < G, key_s * W + slot, G * W)  # drop invalid
 
     rows_s = rows[order]                                # row gather (fast)
-    new_rows = jnp.zeros_like(rows).at[dest].set(rows_s, mode="drop")
+    park = (PARK_BASE
+            + PARK_SPACING * jnp.arange(G * W, dtype=dtype))[:, None]
+    park_rows = jnp.concatenate(
+        [jnp.broadcast_to(park, (G * W, 9)),
+         jnp.zeros((G * W, 9), dtype)], axis=1)
+    new_rows = park_rows.at[dest].set(rows_s, mode="drop")
     new_valid = jnp.zeros_like(valid).at[dest].set(
         jnp.ones_like(valid), mode="drop")
     new_wid = jnp.full_like(wid, -1).at[dest].set(wid[order], mode="drop")

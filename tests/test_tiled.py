@@ -178,3 +178,63 @@ def test_tiled_ewald_matches_reference():
     np.testing.assert_allclose(f_t[sol] / scale, f_r[sol] / scale, atol=2e-4)
     np.testing.assert_allclose(np.asarray(tf.dUdlam), np.asarray(rf.dUdlam),
                                rtol=1e-3, atol=1e-2)
+
+
+def test_fast_ww_matches_tally_path():
+    """water_water_fast (hot path: parked invalid slots, per-cell-shift PBC,
+    O-O-only LJ, no tallies) vs the masked tally oracle on a grid ≥ 3
+    system, including after a rebin that wraps/parks."""
+    sys_ = solvated_acid(
+        n_side=9, rigid_water=True, lambda_coupled=True,
+        cutoff=6.0, skin=1.5, coul_style="dsf", alpha=0.2, seed=11, pH=5.0,
+    )
+    cfg = EngineConfig(dt=1.0, thermostat="nve", lambda_thermostat="none",
+                       rebuild_every=10)
+    ts = split_system(sys_, skin=1.5)
+    assert min(ts.params.grid) >= 3, ts.params.grid
+    tst = to_tiled(ts, sys_.state)
+    eng = TiledEngine(ts, cfg)
+
+    for trial in range(2):
+        tf_fast = eng.compute_forces(tst)                  # fast path
+        tf_ref = eng.compute_forces(tst, need_tally=True)  # oracle path
+        np.testing.assert_allclose(float(tf_fast.e_lj), float(tf_ref.e_lj),
+                                   rtol=2e-5)
+        np.testing.assert_allclose(float(tf_fast.e_coul),
+                                   float(tf_ref.e_coul), rtol=2e-5)
+        scale = float(jnp.abs(tf_ref.fw).max())
+        np.testing.assert_allclose(np.asarray(tf_fast.fw) / scale,
+                                   np.asarray(tf_ref.fw) / scale, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(tf_fast.fs),
+                                   np.asarray(tf_ref.fs), atol=1e-3)
+        np.testing.assert_allclose(np.asarray(tf_fast.dUdlam),
+                                   np.asarray(tf_ref.dUdlam),
+                                   rtol=5e-4, atol=5e-3)
+        # second trial: shift across cells + rebin (exercises wrap + park)
+        shift = jnp.asarray([4.3, -1.7, 7.9], dtype=tst.wx.dtype)
+        tst = tst.replace(wx=tst.wx + shift[:, None, None],
+                          sx=tst.sx + shift[None, :])
+        tst, overflow = rebin(tst, ts.params)
+        assert not bool(overflow)
+
+
+def test_retile_capacity():
+    """retile() shrinks W and preserves state + energies exactly."""
+    from constant_ph_tpu.tiled.layout import retile
+
+    sys_ = solvated_acid(
+        n_side=9, rigid_water=True, lambda_coupled=True,
+        cutoff=6.0, skin=1.5, coul_style="dsf", alpha=0.2, seed=13, pH=5.0,
+    )
+    cfg = EngineConfig(dt=1.0, thermostat="nve", lambda_thermostat="none")
+    ts = split_system(sys_, skin=1.5, tile_safety=2.2)
+    tst = to_tiled(ts, sys_.state)
+    eng = TiledEngine(ts, cfg)
+    e0 = float(eng.compute_forces(tst).e_pot)
+
+    occ = int(np.asarray(tst.wvalid).sum(axis=1).max())
+    ts2, tst2 = retile(ts, tst, occ + 4)
+    assert ts2.params.W < ts.params.W
+    eng2 = TiledEngine(ts2, cfg)
+    e1 = float(eng2.compute_forces(tst2).e_pot)
+    np.testing.assert_allclose(e1, e0, rtol=1e-5)

@@ -1,0 +1,99 @@
+"""Measure the BASELINE.json config family on the real chip.
+
+Config 3: full Ewald long-range electrostatics with reciprocal dU/dλ.
+Config 4: HEWL-scale multi-site polypeptide (~20k atoms, 16 λ sites).
+
+Prints ms/step and ns/day (dt=2 fs) per config. The headline config
+(24k-atom solvated acid, DSF) lives in bench.py.
+"""
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from constant_ph_tpu.engine import EngineConfig
+from constant_ph_tpu.ops.ewald import make_ewald_params
+from constant_ph_tpu.systems.protein import solvated_polypeptide
+from constant_ph_tpu.tiled.engine import TiledEngine
+from constant_ph_tpu.tiled.layout import retile, split_system, to_tiled
+
+
+def log(msg):
+    print(f"# {msg}", file=sys.stderr, flush=True)
+
+
+def equilibrate_and_retile(sys_, ts, tst, dev, margin=6):
+    cfg_eq = EngineConfig(dt=0.5, thermostat="langevin", T=300.0, gamma=0.01,
+                          lambda_thermostat="langevin", rebuild_every=8,
+                          force_cap=50.0)
+    eng = TiledEngine(ts, cfg_eq)
+    tst, _ = jax.jit(eng.make_minimize(400))(tst)
+    run = jax.jit(eng.make_run(200))
+    for _ in range(5):
+        tst, ov, obs = run(tst)
+    occ = int(np.asarray(tst.wvalid).sum(axis=1).max())
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        ts, tst = retile(ts, jax.tree.map(jnp.asarray, jax.device_get(tst)),
+                         occ + margin)
+    log(f"equilibrated T={float(obs.temp[-1]):.0f}K, retiled occ {occ} "
+        f"-> W {ts.params.W}")
+    return ts, jax.device_put(tst, dev)
+
+
+def measure(eng, tst, dt, n_blocks=40):
+    block = eng.cfg.rebuild_every
+    run_block = jax.jit(eng.make_run(block))
+    tst, ov, obs = run_block(tst)
+    for _ in range(2):
+        tst, ov, obs = run_block(tst)
+    jax.block_until_ready
+    float(obs.temp[-1])
+    t0 = time.perf_counter()
+    for _ in range(n_blocks):
+        tst, ov, obs = run_block(tst)
+    ok = bool(jnp.isfinite(obs.h_conserved).all()) and not bool(ov)
+    wall = time.perf_counter() - t0
+    ms = wall / (n_blocks * block) * 1e3
+    nsday = (n_blocks * block * dt / 1e6) / (wall / 86400.0)
+    return ms, nsday, ok, float(obs.temp[-1])
+
+
+def main():
+    dev = jax.devices()[0]
+    cpu = jax.local_devices(backend="cpu")[0]
+    dt = 2.0
+
+    with jax.default_device(cpu):
+        sys_ = solvated_polypeptide(
+            n_residues=32, sites_every=2, box_len=62.0,
+            cutoff=8.0, skin=0.8, coul_style="dsf", alpha=0.2, pH=5.0,
+        )
+        ts = split_system(sys_, skin=0.8, tile_safety=1.72)
+        tst = to_tiled(ts, sys_.state)
+    n = sys_.state.x.shape[0]
+    n_sites = sys_.spec.n_sites
+    log(f"polypeptide: {n} atoms, {n_sites} sites, grid {ts.params.grid}")
+    tst = jax.device_put(tst, dev)
+    ts, tst = equilibrate_and_retile(sys_, ts, tst, dev)
+
+    cfg = EngineConfig(dt=dt, thermostat="langevin", T=300.0, gamma=0.002,
+                       lambda_thermostat="langevin", rebuild_every=8)
+    eng = TiledEngine(ts, cfg)
+    ms, nsday, ok, T = measure(eng, tst, dt)
+    print(f"config4 polypeptide DSF: {ms:.2f} ms/step  {nsday:.1f} ns/day "
+          f"(finite={ok}, T={T:.0f}K)")
+
+    ep = make_ewald_params(np.asarray(sys_.state.box), 0.35, accuracy=1e-5)
+    eng_ew = TiledEngine(ts, cfg, kspace_ep=ep)
+    ms, nsday, ok, T = measure(eng_ew, tst, dt)
+    print(f"config3 polypeptide Ewald(a=0.35): {ms:.2f} ms/step  "
+          f"{nsday:.1f} ns/day (finite={ok}, T={T:.0f}K)")
+
+
+if __name__ == "__main__":
+    main()

@@ -21,6 +21,7 @@ from constant_ph_tpu.integrators import nhc_halfstep
 from constant_ph_tpu.lambda_dyn import BiasParams
 from constant_ph_tpu.ops.bonded import bonded_forces
 from constant_ph_tpu.ops.ewald import EwaldParams, ewald_recip_xd
+from constant_ph_tpu.ops.pme import PMEParams, pme_recip_tiled
 from constant_ph_tpu.tiled import forces as tforces
 from constant_ph_tpu.tiled.layout import (
     TiledState,
@@ -152,7 +153,24 @@ class TiledEngine:
             eatom_s = eatom_s + eatom_b
 
         e_kspace = jnp.zeros((), st.sx.dtype)
-        if self.kspace_ep is not None:
+        if isinstance(self.kspace_ep, PMEParams):
+            # FFT-based smooth PME on the cell tiles (ops/pme.py) — the
+            # "PPPM as batched XLA FFTs" path; scatter-free spreading
+            vm_atoms = jnp.repeat(st.wvalid, 3, axis=-1)       # (G, 3W)
+            wqg = (self.wq_pat[None, :] * vm_atoms).reshape(
+                gx, gy, gz, 3 * W)
+            ek, fwk, fsk, phi_sk, phi_wk = pme_recip_tiled(
+                wxg, wqg, st.sx, qs * ts.solute.smask, self.kspace_ep,
+                need_water_phi=need_tally)
+            fw = fw + fwk.reshape(3, self.G, 3 * W)
+            fs = fs + fsk
+            phi_s = phi_s + phi_sk
+            if need_tally:
+                eatom_w = eatom_w + (0.5 * wqg * phi_wk).reshape(
+                    self.G, 3 * W)
+                eatom_s = eatom_s + 0.5 * qs * ts.solute.smask * phi_sk
+            e_kspace = ek + self.e_corr
+        elif self.kspace_ep is not None:
             vm_atoms = jnp.repeat(st.wvalid, 3, axis=-1)       # (G, 3W)
             qw = (self.wq_pat[None, :] * vm_atoms).reshape(-1)
             q_all = jnp.concatenate([qw, qs * ts.solute.smask])

@@ -94,6 +94,15 @@ def main():
     print(f"config3 polypeptide Ewald(a=0.35): {ms:.2f} ms/step  "
           f"{nsday:.1f} ns/day (finite={ok}, T={T:.0f}K)")
 
+    from constant_ph_tpu.ops.pme import make_pme_params
+    pp = make_pme_params(np.asarray(sys_.state.box), ts.params.grid, 0.35,
+                         spacing=1.0, p=6)
+    log(f"PME mesh {pp.mesh} (per-cell {pp.m}, halo {pp.h})")
+    eng_pm = TiledEngine(ts, cfg, kspace_ep=pp)
+    ms, nsday, ok, T = measure(eng_pm, tst, dt)
+    print(f"config3 polypeptide PME(a=0.35, 1A, p=6): {ms:.2f} ms/step  "
+          f"{nsday:.1f} ns/day (finite={ok}, T={T:.0f}K)")
+
 
 if __name__ == "__main__":
     main()

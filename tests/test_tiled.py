@@ -238,3 +238,62 @@ def test_retile_capacity():
     eng2 = TiledEngine(ts2, cfg)
     e1 = float(eng2.compute_forces(tst2).e_pot)
     np.testing.assert_allclose(e1, e0, rtol=1e-5)
+
+
+def test_pme_matches_factorized_ewald():
+    """FFT-based PME (ops/pme.py, scatter-free tile spreading) vs the
+    factorized-matmul Ewald oracle through the full tiled engine: energy,
+    forces, dU/dλ, and the eatom tally path."""
+    from constant_ph_tpu.ops.pme import make_pme_params
+
+    sys_ = solvated_acid(
+        n_side=9, rigid_water=True, lambda_coupled=True,
+        cutoff=6.0, skin=1.5, coul_style="cut", alpha=0.35, seed=3, pH=5.0,
+    )
+    cfg = EngineConfig(dt=1.0, thermostat="nve", lambda_thermostat="none")
+    ts = split_system(sys_, skin=1.5)
+    tst = to_tiled(ts, sys_.state)
+    box = np.asarray(sys_.state.box)
+
+    ep = make_ewald_params(box, 0.35, accuracy=1e-6)
+    pp = make_pme_params(box, ts.params.grid, 0.35, spacing=1.0, p=6)
+    eng_ew = TiledEngine(ts, cfg, kspace_ep=ep)
+    eng_pm = TiledEngine(ts, cfg, kspace_ep=pp)
+
+    tf_ew = eng_ew.compute_forces(tst)
+    tf_pm = eng_pm.compute_forces(tst)
+
+    # PME mesh-discretization error is ~0.1 kcal/mol absolute on this system
+    # (2e-6 of the raw recip sum; e_kspace is a small cancellation residual)
+    np.testing.assert_allclose(float(tf_pm.e_kspace), float(tf_ew.e_kspace),
+                               atol=0.3)
+    scale = float(jnp.abs(tf_ew.fw).max())
+    vm = jnp.repeat(tst.wvalid, 3, axis=-1)[None]
+    np.testing.assert_allclose(
+        np.asarray(tf_pm.fw * vm) / scale,
+        np.asarray(tf_ew.fw * vm) / scale, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(tf_pm.fs), np.asarray(tf_ew.fs),
+                               atol=5e-4 * scale)
+    np.testing.assert_allclose(np.asarray(tf_pm.dUdlam),
+                               np.asarray(tf_ew.dUdlam), rtol=2e-3,
+                               atol=1e-2)
+
+    # tally path: eatom sums to the total (kspace included)
+    tf_t = eng_pm.compute_forces(tst, need_tally=True)
+    total = float(jnp.sum(tf_t.eatom_w * vm[0])
+                  + jnp.sum(tf_t.eatom_s * ts.solute.smask))
+    want = float(tf_t.e_lj + tf_t.e_coul + tf_t.e_bonded
+                 + tf_t.e_kspace - eng_pm.e_corr)
+    np.testing.assert_allclose(total, want, rtol=1e-3)
+
+    # NVE conservation with PME λ-coupled electrostatics
+    from constant_ph_tpu.minimize import fire_minimize
+    ref = sys_.make_engine(cfg)
+    state, _ = fire_minimize(ref, sys_.state, n_steps=200)
+    tst2 = to_tiled(ts, state)
+    tst2, overflow, obs = eng_pm.run(tst2, 200)
+    assert not bool(overflow)
+    h = np.asarray(obs.h_conserved, np.float64)
+    ke = np.asarray(obs.ke, np.float64)
+    assert np.isfinite(h).all()
+    assert abs(h[-1] - h[0]) < 0.05 * ke.mean(), (h[0], h[-1], ke.mean())

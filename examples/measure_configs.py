@@ -69,8 +69,11 @@ def main():
     dt = 2.0
 
     with jax.default_device(cpu):
+        # ≥25k atoms (HEWL scale, BASELINE config 4) in a box that lands on
+        # a 6³ cell grid (cell 11 Å ≥ cutoff+skin+2·mol_radius = 10.54 Å) —
+        # pair work scales as N²/G, so hitting the next grid size matters
         sys_ = solvated_polypeptide(
-            n_residues=32, sites_every=2, box_len=62.0,
+            n_residues=40, sites_every=2, box_len=66.0, water_spacing=3.1,
             cutoff=8.0, skin=0.8, coul_style="dsf", alpha=0.2, pH=5.0,
         )
         ts = split_system(sys_, skin=0.8, tile_safety=1.72)

@@ -93,6 +93,16 @@ def main():
             return st2, e_lj + e_c
         return lambda: body
 
+    def mk_ww_fast():
+        def body(st):
+            wxg = st.wx.reshape(3, gx, gy, gz, 3 * W)
+            e_lj, e_c, f = tforces.water_water_fast(
+                wxg, ts.water, p, st.box, style=style, alpha=alpha, rc=rc)
+            fstack = jnp.stack([jnp.reshape(fd, (p.G, 3 * W)) for fd in f])
+            st2 = st.replace(wx=st.wx + eps * fstack)
+            return st2, e_lj + e_c
+        return lambda: body
+
     def mk_ws():
         def body(st):
             wxg = st.wx.reshape(3, gx, gy, gz, 3 * W)
@@ -142,6 +152,7 @@ def main():
         return lambda: body
 
     profile("ww_xla", mk_ww(False), tst)
+    profile("ww_fast", mk_ww_fast(), tst)
     profile("ww_pallas", mk_ww(True), tst)
     profile("water_solute", mk_ws(), tst)
     profile("solute_solute", mk_ss(), tst)

@@ -252,7 +252,10 @@ def water_water_fast(wxg, wm: WaterModel, p: TileParams, box,
         image shifts (coordinates are box-wrapped at rebin);
       - LJ runs on the O-O sub-block only (1/9 of atom pairs) instead of
         masked LJ math on all pairs;
-      - the charge-product matrix QQR2E·q_i·q_j is a static constant.
+      - the charge-product matrix QQR2E·q_i·q_j is a static constant;
+      - all 13 rolled neighbor tiles + the self tile are concatenated
+        along the LANE dim into one (A, 14A) pair block (see the
+        merged-lane comment below) so TPU lane padding is amortized.
 
     Requires grid ≥ 3 per dim. Validated against water_water in
     tests/test_tiled.py."""
@@ -265,12 +268,7 @@ def water_water_fast(wxg, wm: WaterModel, p: TileParams, box,
     rc2 = rc * rc
 
     q_pat = np.tile(np.asarray(wm.q_pattern, np.float64), W)
-    kqq = jnp.asarray(units.QQR2E * q_pat[:, None] * q_pat[None, :],
-                      dtype=dtype)                          # (A, A) static
     a_idx = np.arange(A)
-    not_same_mol = jnp.asarray(
-        (a_idx[:, None] // 3) != (a_idx[None, :] // 3), dtype=dtype)
-    not_self_O = jnp.asarray(1.0 - np.eye(W), dtype=dtype)
 
     if style == "dsf":
         erfc_rc = _math.erfc(alpha * rc)
@@ -311,70 +309,80 @@ def water_water_fast(wxg, wm: WaterModel, p: TileParams, box,
             w_r = g2 * inv_r2 * inv_r
         return u_r, w_r
 
-    def coul_block(xi, xj, mask):
-        """Coulomb forces/energy between atom tile sets; mask is a static
-        (A, A) exclusion (or None)."""
-        dx = [xi[d][..., :, None] - xj[d][..., None, :] for d in range(3)]
-        r2 = dx[0] * dx[0] + dx[1] * dx[1] + dx[2] * dx[2]
-        r2 = jnp.maximum(r2, R2_MIN)
-        in_rc = (r2 < rc2).astype(dtype)
-        if mask is not None:
-            in_rc = in_rc * mask
-        u_r, w_r = coul_uw(r2)
-        e_p = kqq * (u_r * in_rc)
-        fpair = kqq * (w_r * in_rc)
-        fi = tuple(jnp.sum(fpair * dx[d], axis=-1) for d in range(3))
-        fj = tuple(-jnp.sum(fpair * dx[d], axis=-2) for d in range(3))
-        return jnp.sum(e_p), fi, fj
-
-    def lj_block(xo_i, xo_j, mask):
-        """O-O LJ forces/energy; (..., W) coordinate tuples."""
-        dx = [xo_i[d][..., :, None] - xo_j[d][..., None, :] for d in range(3)]
-        r2 = dx[0] * dx[0] + dx[1] * dx[1] + dx[2] * dx[2]
-        r2 = jnp.maximum(r2, R2_MIN)
-        in_rc = (r2 < rc2).astype(dtype)
-        if mask is not None:
-            in_rc = in_rc * mask
-        inv_r2 = 1.0 / r2
-        inv_r6 = inv_r2 * inv_r2 * inv_r2
-        e_p = ((wm.c12_OO * inv_r6 - wm.c6_OO) * inv_r6
-               - wm.eshift_OO) * in_rc
-        fpair = (12.0 * wm.c12_OO * inv_r6 - 6.0 * wm.c6_OO) \
-            * inv_r6 * inv_r2 * in_rc
-        fi = tuple(jnp.sum(fpair * dx[d], axis=-1) for d in range(3))
-        fj = tuple(-jnp.sum(fpair * dx[d], axis=-2) for d in range(3))
-        return jnp.sum(e_p), fi, fj
-
     xi = tuple(wxg[d] for d in range(3))
     xo_i = tuple(wxg[d][..., 0::3] for d in range(3))       # (gx,gy,gz,W)
 
-    # self cell: full matrix (both orders) → halve the energy; forces from
-    # the i side already include both members of each pair
-    e_c, fi_c, _ = coul_block(xi, xi, not_same_mol)
-    e_coul = 0.5 * e_c
-    f = list(fi_c)
-    e_l, fi_l, _ = lj_block(xo_i, xo_i, not_self_O)
-    e_lj = 0.5 * e_l
-    fO = list(fi_l)
-
+    # -- merged-lane stencil: all 13 rolled neighbor tiles + the self tile
+    # concatenated along the LANE dim into one (A, 14A) pair block.
+    # Rationale: per-offset (A, A) blocks pad A to the next multiple of 128
+    # lanes (A=168 → 256: 52% wasted VPU work; the O-only LJ block W=56 →
+    # 128: 129% waste). One merged (A, 14A) block pads 2352 → 2432 (3%).
+    # The self-segment exclusions (same molecule / same O) and the 0.5
+    # energy de-duplication fold into static per-segment charge-product
+    # and LJ prefactor matrices, so the merged block is maskless too. --
     vaxes = (0, 1, 2)
-    for off in p.half_stencil:
-        sh = tuple(-o for o in off)
-        shifts = _roll_shift(box, p.grid, off, dtype)
-        xj = tuple(jnp.roll(wxg[d], sh, axis=vaxes) + shifts[d]
-                   for d in range(3))
-        ec, fi, fj = coul_block(xi, xj, None)
-        e_coul = e_coul + ec
-        xo_j = tuple(x[..., 0::3] for x in xj)
-        el, fiO, fjO = lj_block(xo_i, xo_j, None)
-        e_lj = e_lj + el
-        for d in range(3):
-            f[d] = f[d] + fi[d] + jnp.roll(fj[d], off, axis=vaxes)
-            fO[d] = fO[d] + fiO[d] + jnp.roll(fjO[d], off, axis=vaxes)
-
-    # fold the O-only LJ forces into the interleaved (O,H,H) layout once
+    nseg = len(p.half_stencil) + 1
+    xj_m, xo_j_m = [], []
     for d in range(3):
-        f[d] = f[d].at[..., 0::3].add(fO[d])
+        segs = []
+        for off in p.half_stencil:
+            sh = tuple(-o for o in off)
+            shift = _roll_shift(box, p.grid, off, dtype)[d]
+            segs.append(jnp.roll(wxg[d], sh, axis=vaxes) + shift)
+        segs.append(wxg[d])                                  # self segment
+        xj_m.append(jnp.concatenate(segs, axis=-1))          # (...,14A)
+        xo_j_m.append(jnp.concatenate(
+            [s[..., 0::3] for s in segs], axis=-1))          # (...,14W)
+
+    # static per-segment pair prefactors. Self segment: exclude
+    # same-molecule pairs and halve — the self block is a full
+    # (both-orders) matrix, and by h-symmetry/dx-antisymmetry its i-side
+    # and j-side force sums are identical, so the 0.5 makes fi + fj count
+    # each pair once (and de-duplicates the energy sum the same way).
+    kqq_np = np.asarray(units.QQR2E * q_pat[:, None] * q_pat[None, :])
+    nsm = (a_idx[:, None] // 3) != (a_idx[None, :] // 3)
+    kqq_m = np.tile(kqq_np, (1, nseg))
+    kqq_m[:, -A:] *= 0.5 * nsm
+    kqq_m = jnp.asarray(kqq_m, dtype=dtype)
+    ljm = np.ones((W, nseg * W))
+    ljm[:, -W:] = 0.5 * (1.0 - np.eye(W))
+    ljm = jnp.asarray(ljm, dtype=dtype)
+
+    def unmerge_add(fi, fj_m, n):
+        """fold the merged j-side sums back: (..., nseg*n) → rolled adds."""
+        fj = fj_m.reshape(fj_m.shape[:-1] + (nseg, n))
+        out = fi + fj[..., -1, :]                            # self segment
+        for k, off in enumerate(p.half_stencil):
+            out = out + jnp.roll(fj[..., k, :], off, axis=vaxes)
+        return out
+
+    # Coulomb over the merged block
+    dx = [xi[d][..., :, None] - xj_m[d][..., None, :] for d in range(3)]
+    r2 = jnp.maximum(dx[0] * dx[0] + dx[1] * dx[1] + dx[2] * dx[2], R2_MIN)
+    in_rc = (r2 < rc2).astype(dtype)
+    u_r, w_r = coul_uw(r2)
+    e_coul = jnp.sum(kqq_m * (u_r * in_rc))
+    h = kqq_m * (w_r * in_rc)
+    f = []
+    for d in range(3):
+        hd = h * dx[d]
+        f.append(unmerge_add(jnp.sum(hd, axis=-1), -jnp.sum(hd, axis=-2), A))
+
+    # O-O LJ over the merged block
+    dxo = [xo_i[d][..., :, None] - xo_j_m[d][..., None, :] for d in range(3)]
+    r2o = jnp.maximum(dxo[0] * dxo[0] + dxo[1] * dxo[1] + dxo[2] * dxo[2],
+                      R2_MIN)
+    in_rco = ljm * (r2o < rc2).astype(dtype)
+    inv_r2 = 1.0 / r2o
+    inv_r6 = inv_r2 * inv_r2 * inv_r2
+    e_lj = jnp.sum(((wm.c12_OO * inv_r6 - wm.c6_OO) * inv_r6 - wm.eshift_OO)
+                   * in_rco)
+    fpo = ((12.0 * wm.c12_OO * inv_r6 - 6.0 * wm.c6_OO) * inv_r6 * inv_r2
+           * in_rco)
+    for d in range(3):
+        fpd = fpo * dxo[d]
+        fOd = unmerge_add(jnp.sum(fpd, axis=-1), -jnp.sum(fpd, axis=-2), W)
+        f[d] = f[d].at[..., 0::3].add(fOd)
     return e_lj, e_coul, f
 
 

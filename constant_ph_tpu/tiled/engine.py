@@ -129,10 +129,18 @@ class TiledEngine:
                 wxg, wvg, ts.water, p, box, style=style, alpha=alpha, rc=rc)
 
         qs = self.charges_solute(st.lam)
-        (e_lj_ws, e_c_ws, f_w_ws, f_s_ws, eatom_w_ws, eatom_s_ws,
-         phi_w_ws, phi_s_ws) = tforces.water_solute(
-            wxg, wvg, st.sx, qs, ts.solute, ts.water, p, box,
-            style=style, alpha=alpha, rc=rc)
+        if fast_ok:
+            e_lj_ws, e_c_ws, f_w_ws, f_s_ws, phi_s_ws = \
+                tforces.water_solute_fast(
+                    wxg, wvg, st.sx, qs, ts.solute, ts.water, p, box,
+                    style=style, alpha=alpha, rc=rc)
+            eatom_w_ws = jnp.zeros((gx, gy, gz, 3 * W), st.wx.dtype)
+            eatom_s_ws = jnp.zeros_like(qs)
+        else:
+            (e_lj_ws, e_c_ws, f_w_ws, f_s_ws, eatom_w_ws, eatom_s_ws,
+             phi_w_ws, phi_s_ws) = tforces.water_solute(
+                wxg, wvg, st.sx, qs, ts.solute, ts.water, p, box,
+                style=style, alpha=alpha, rc=rc)
 
         e_lj_ss, e_c_ss, f_ss, eatom_ss, phi_ss = tforces.solute_solute(
             st.sx, qs, ts.solute, box, style=style, alpha=alpha, rc=rc)

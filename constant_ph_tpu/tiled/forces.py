@@ -193,6 +193,94 @@ def solute_solute(sx, qs, st: SoluteTables, box, *, style, alpha, rc):
     return bs.e_lj, bs.e_coul, jnp.stack(bs.fi, axis=-1), bs.eatom_i, bs.phi_i
 
 
+def water_solute_fast(wxg, wvalid, sx, qs, st: SoluteTables, wm: WaterModel,
+                      p: TileParams, box, *, style, alpha, rc):
+    """Hot-path water×solute block.
+
+    Returns (e_lj, e_coul, f_w (3 arrays (gx,gy,gz,A)), f_s (Ns,3),
+    phi_s (Ns,)) — drops the per-atom eatom/φ_w tallies the MD step never
+    uses (only φ on solute atoms feeds dU/dλ) and uses the same Chebyshev
+    screening fits as :func:`water_water_fast`. Solute-pad masks fold into
+    the static per-solute LJ coefficients and into q·smask; the water
+    validity mask IS needed per-row (unlike water_water_fast) because the
+    per-pair min-image — required since the solute is not tiled — wraps
+    parked far-away slots back into the box. Validated against
+    water_solute in tests/test_tiled.py."""
+    import math as _math
+
+    W = p.W
+    A = 3 * W
+    dtype = wxg.dtype
+    rc2 = rc * rc
+
+    q_pat = jnp.asarray(np.tile(np.asarray(wm.q_pattern, np.float64), W),
+                        dtype=dtype)                        # (A,)
+    lj_pat = np.tile([1.0, 0.0, 0.0], W)                    # O rows only
+
+    if style == "dsf":
+        erfc_rc = _math.erfc(alpha * rc)
+        e_sh = erfc_rc / rc
+        f_sh = erfc_rc / rc**2 + (TWO_OVER_SQRT_PI * alpha
+                                  * _math.exp(-((alpha * rc) ** 2)) / rc)
+    c_g1, c_g2 = _screening_polys(alpha, rc)
+
+    qj = qs * st.smask                                      # (Ns,) dynamic
+    c6p = jnp.asarray(lj_pat[:, None], dtype) * (st.c6_cross * st.smask)
+    c12p = jnp.asarray(lj_pat[:, None], dtype) * (st.c12_cross * st.smask)
+    eshp = jnp.asarray(lj_pat[:, None], dtype) * (st.eshift_cross * st.smask)
+
+    dx = []
+    r2 = None
+    for d in range(3):
+        dd = wxg[d][..., :, None] - sx[:, d][None, None, None, None, :]
+        dd = min_image(dd, box[d])
+        dx.append(dd)
+        r2 = dd * dd if r2 is None else r2 + dd * dd
+    r2 = jnp.maximum(r2, R2_MIN)                            # (...,A,Ns)
+    vm = jnp.repeat(wvalid, 3, axis=-1)                     # (gx,gy,gz,A)
+    in_rc = vm[..., :, None] * (r2 < rc2).astype(dtype)
+
+    inv_r = jax.lax.rsqrt(r2)
+    inv_r2 = inv_r * inv_r
+    r = r2 * inv_r
+    if alpha > 0.0:
+        t = jnp.minimum(r * (2.0 / rc) - 1.0, 1.0)
+        g1 = c_g1[-1]
+        for ck in c_g1[-2::-1]:
+            g1 = g1 * t + ck
+        g2 = c_g2[-1]
+        for ck in c_g2[-2::-1]:
+            g2 = g2 * t + ck
+    else:
+        g1 = jnp.ones_like(r)
+        g2 = jnp.ones_like(r)
+    if style == "dsf":
+        u_r = g1 * inv_r - e_sh + f_sh * (r - rc)
+        w_r = g2 * inv_r2 * inv_r - f_sh * inv_r
+    else:
+        u_r = g1 * inv_r
+        w_r = g2 * inv_r2 * inv_r
+    u_r = u_r * in_rc
+    kqq = units.QQR2E * q_pat[:, None] * qj[None, :]
+    e_coul = jnp.sum(kqq * u_r)
+    qu = q_pat[:, None] * u_r
+    phi_s = units.QQR2E * jnp.sum(qu, axis=(0, 1, 2, 3))    # (Ns,)
+
+    inv_r6 = inv_r2 * inv_r2 * inv_r2
+    e_lj_p = ((c12p * inv_r6 - c6p) * inv_r6 - eshp) * in_rc
+    e_lj = jnp.sum(e_lj_p)
+    fpair = (kqq * (w_r * in_rc)
+             + (12.0 * c12p * inv_r6 - 6.0 * c6p) * inv_r6 * inv_r2 * in_rc)
+    f_w = []
+    f_s_d = []
+    for d in range(3):
+        fd = fpair * dx[d]
+        f_w.append(jnp.sum(fd, axis=-1))                    # (...,A)
+        f_s_d.append(-jnp.sum(fd, axis=(0, 1, 2, 3)))       # (Ns,)
+    f_s = jnp.stack(f_s_d, axis=-1)
+    return e_lj, e_coul, f_w, f_s, phi_s
+
+
 def _roll_shift(box, grid, off, dtype):
     """Per-cell image shifts for a rolled neighbor tile.
 
@@ -238,7 +326,8 @@ def _screening_polys(alpha: float, rc: float, deg: int = 10):
 
 
 def water_water_fast(wxg, wm: WaterModel, p: TileParams, box,
-                     *, style, alpha, rc):
+                     *, style, alpha, rc, full_stencil=False,
+                     chunk_k_coul=None, chunk_k_lj=None):
     """Hot-path water-water block: forces + total energies only.
 
     Faster than :func:`water_water` by dropping per-pair work the MD step
@@ -253,9 +342,10 @@ def water_water_fast(wxg, wm: WaterModel, p: TileParams, box,
       - LJ runs on the O-O sub-block only (1/9 of atom pairs) instead of
         masked LJ math on all pairs;
       - the charge-product matrix QQR2E·q_i·q_j is a static constant;
-      - all 13 rolled neighbor tiles + the self tile are concatenated
-        along the LANE dim into one (A, 14A) pair block (see the
-        merged-lane comment below) so TPU lane padding is amortized.
+      - the 13 rolled neighbor tiles + the self tile are concatenated
+        along the LANE dim in chunks sized so each chunk's lane width
+        lands just under a multiple of 128 (see _chunk_plan below) —
+        amortizes TPU lane padding without giant-fusion overhead.
 
     Requires grid ≥ 3 per dim. Validated against water_water in
     tests/test_tiled.py."""
@@ -321,68 +411,125 @@ def water_water_fast(wxg, wm: WaterModel, p: TileParams, box,
     # energy de-duplication fold into static per-segment charge-product
     # and LJ prefactor matrices, so the merged block is maskless too. --
     vaxes = (0, 1, 2)
-    nseg = len(p.half_stencil) + 1
-    xj_m, xo_j_m = [], []
+    # full_stencil mode: all 26 neighbor offsets, i-side-only accumulation
+    # (every unordered pair computed from both cells; no j-side reductions,
+    # no roll-backs) — 2x the ideal pair math of the half stencil, but a
+    # single reduction axis. Measured on v5e (examples/probe_ww_variants.py)
+    # XLA multi-output-fuses the two reduction axes of the half-stencil
+    # block in one pass, so half wins (4.7 vs 7.3 ms at A=228); the flag is
+    # kept for future re-probes.
+    stencil = (tuple(o for off in p.half_stencil
+                     for o in (off, tuple(-x for x in off)))
+               if full_stencil else p.half_stencil)
+    nseg = len(stencil) + 1
+    xj_segs, xo_segs = [], []
     for d in range(3):
         segs = []
-        for off in p.half_stencil:
+        for off in stencil:
             sh = tuple(-o for o in off)
             shift = _roll_shift(box, p.grid, off, dtype)[d]
             segs.append(jnp.roll(wxg[d], sh, axis=vaxes) + shift)
         segs.append(wxg[d])                                  # self segment
-        xj_m.append(jnp.concatenate(segs, axis=-1))          # (...,14A)
-        xo_j_m.append(jnp.concatenate(
-            [s[..., 0::3] for s in segs], axis=-1))          # (...,14W)
+        xj_segs.append(segs)
+        xo_segs.append([s[..., 0::3] for s in segs])
 
     # static per-segment pair prefactors. Self segment: exclude
-    # same-molecule pairs and halve — the self block is a full
-    # (both-orders) matrix, and by h-symmetry/dx-antisymmetry its i-side
-    # and j-side force sums are identical, so the 0.5 makes fi + fj count
-    # each pair once (and de-duplicates the energy sum the same way).
+    # same-molecule pairs; in half-stencil mode also halve it — the self
+    # block is a full (both-orders) matrix, and by h-symmetry /
+    # dx-antisymmetry its i-side and j-side force sums are identical, so
+    # the 0.5 makes fi + fj count each pair once (and de-duplicates the
+    # energy sum the same way).
     kqq_np = np.asarray(units.QQR2E * q_pat[:, None] * q_pat[None, :])
     nsm = (a_idx[:, None] // 3) != (a_idx[None, :] // 3)
-    kqq_m = np.tile(kqq_np, (1, nseg))
-    kqq_m[:, -A:] *= 0.5 * nsm
-    kqq_m = jnp.asarray(kqq_m, dtype=dtype)
-    ljm = np.ones((W, nseg * W))
-    ljm[:, -W:] = 0.5 * (1.0 - np.eye(W))
-    ljm = jnp.asarray(ljm, dtype=dtype)
+    kqq_all = np.tile(kqq_np, (1, nseg))
+    ljm_all = np.ones((W, nseg * W))
+    if full_stencil:
+        # i-side-only: force weight 1 everywhere (each pair seen from both
+        # cells); every pair appears twice, so energies get a global 0.5
+        kqq_all[:, -A:] *= nsm
+        ljm_all[:, -W:] = 1.0 - np.eye(W)
+        e_scale = 0.5
+    else:
+        kqq_all[:, -A:] *= 0.5 * nsm
+        ljm_all[:, -W:] = 0.5 * (1.0 - np.eye(W))
+        e_scale = 1.0
 
-    def unmerge_add(fi, fj_m, n):
-        """fold the merged j-side sums back: (..., nseg*n) → rolled adds."""
-        fj = fj_m.reshape(fj_m.shape[:-1] + (nseg, n))
-        out = fi + fj[..., -1, :]                            # self segment
-        for k, off in enumerate(p.half_stencil):
-            out = out + jnp.roll(fj[..., k, :], off, axis=vaxes)
-        return out
+    # chunk plan: group k segments per pair block so the chunk lane width
+    # k·A sits just under a multiple of 128 (v5e lane tile). k=1 wastes up
+    # to 52% of the lanes (A=168→256); one giant merge (k=nseg) has ~0%
+    # pad but measured ~20% scheduling overhead at A=228 — the mild
+    # 3%-per-extra-segment penalty below reproduces that tradeoff.
+    def _chunk_plan(n):
+        best_k, best_cost = 1, None
+        for k in range(1, min(nseg, 8) + 1):
+            sizes = [min(k, nseg - s) for s in range(0, nseg, k)]
+            padded = sum(-(-sz * n // 128) * 128 for sz in sizes)
+            cost = padded * (1.0 + 0.03 * (k - 1))
+            if best_cost is None or cost < best_cost:
+                best_k, best_cost = k, cost
+        return best_k
 
-    # Coulomb over the merged block
-    dx = [xi[d][..., :, None] - xj_m[d][..., None, :] for d in range(3)]
-    r2 = jnp.maximum(dx[0] * dx[0] + dx[1] * dx[1] + dx[2] * dx[2], R2_MIN)
-    in_rc = (r2 < rc2).astype(dtype)
-    u_r, w_r = coul_uw(r2)
-    e_coul = jnp.sum(kqq_m * (u_r * in_rc))
-    h = kqq_m * (w_r * in_rc)
-    f = []
+    seg_offsets = list(stencil) + [None]                   # None = self
+
+    def fold_j(acc, fj_c, s, e, n):
+        """roll the j-side chunk sums back onto their source cells."""
+        fj = fj_c.reshape(fj_c.shape[:-1] + (e - s, n))
+        for i, idx in enumerate(range(s, e)):
+            off = seg_offsets[idx]
+            c = fj[..., i, :]
+            acc = acc + (c if off is None else jnp.roll(c, off, axis=vaxes))
+        return acc
+
+    # Coulomb over chunked merged blocks
+    kA = chunk_k_coul or _chunk_plan(A)
+    e_coul = jnp.zeros((), dtype)
+    f = [jnp.zeros_like(wxg[d]) for d in range(3)]
+    for s in range(0, nseg, kA):
+        e = min(s + kA, nseg)
+        xj_c = [jnp.concatenate(xj_segs[d][s:e], axis=-1) for d in range(3)]
+        kqq_c = jnp.asarray(kqq_all[:, s * A:e * A], dtype=dtype)
+        dx = [xi[d][..., :, None] - xj_c[d][..., None, :] for d in range(3)]
+        r2 = jnp.maximum(dx[0] * dx[0] + dx[1] * dx[1] + dx[2] * dx[2],
+                         R2_MIN)
+        in_rc = (r2 < rc2).astype(dtype)
+        u_r, w_r = coul_uw(r2)
+        e_coul = e_coul + jnp.sum(kqq_c * (u_r * in_rc))
+        h = kqq_c * (w_r * in_rc)
+        for d in range(3):
+            hd = h * dx[d]
+            f[d] = f[d] + jnp.sum(hd, axis=-1)
+            if not full_stencil:
+                f[d] = fold_j(f[d], -jnp.sum(hd, axis=-2), s, e, A)
+    e_coul = e_scale * e_coul
+
+    # O-O LJ over chunked merged blocks
+    kW = chunk_k_lj or _chunk_plan(W)
+    e_lj = jnp.zeros((), dtype)
+    fO = [jnp.zeros_like(xo_i[d]) for d in range(3)]
+    for s in range(0, nseg, kW):
+        e = min(s + kW, nseg)
+        xo_c = [jnp.concatenate(xo_segs[d][s:e], axis=-1) for d in range(3)]
+        ljm_c = jnp.asarray(ljm_all[:, s * W:e * W], dtype=dtype)
+        dxo = [xo_i[d][..., :, None] - xo_c[d][..., None, :]
+               for d in range(3)]
+        r2o = jnp.maximum(dxo[0] * dxo[0] + dxo[1] * dxo[1]
+                          + dxo[2] * dxo[2], R2_MIN)
+        in_rco = ljm_c * (r2o < rc2).astype(dtype)
+        inv_r2 = 1.0 / r2o
+        inv_r6 = inv_r2 * inv_r2 * inv_r2
+        e_lj = e_lj + jnp.sum(
+            ((wm.c12_OO * inv_r6 - wm.c6_OO) * inv_r6 - wm.eshift_OO)
+            * in_rco)
+        fpo = ((12.0 * wm.c12_OO * inv_r6 - 6.0 * wm.c6_OO) * inv_r6
+               * inv_r2 * in_rco)
+        for d in range(3):
+            fpd = fpo * dxo[d]
+            fO[d] = fO[d] + jnp.sum(fpd, axis=-1)
+            if not full_stencil:
+                fO[d] = fold_j(fO[d], -jnp.sum(fpd, axis=-2), s, e, W)
+    e_lj = e_scale * e_lj
     for d in range(3):
-        hd = h * dx[d]
-        f.append(unmerge_add(jnp.sum(hd, axis=-1), -jnp.sum(hd, axis=-2), A))
-
-    # O-O LJ over the merged block
-    dxo = [xo_i[d][..., :, None] - xo_j_m[d][..., None, :] for d in range(3)]
-    r2o = jnp.maximum(dxo[0] * dxo[0] + dxo[1] * dxo[1] + dxo[2] * dxo[2],
-                      R2_MIN)
-    in_rco = ljm * (r2o < rc2).astype(dtype)
-    inv_r2 = 1.0 / r2o
-    inv_r6 = inv_r2 * inv_r2 * inv_r2
-    e_lj = jnp.sum(((wm.c12_OO * inv_r6 - wm.c6_OO) * inv_r6 - wm.eshift_OO)
-                   * in_rco)
-    fpo = ((12.0 * wm.c12_OO * inv_r6 - 6.0 * wm.c6_OO) * inv_r6 * inv_r2
-           * in_rco)
-    for d in range(3):
-        fpd = fpo * dxo[d]
-        fOd = unmerge_add(jnp.sum(fpd, axis=-1), -jnp.sum(fpd, axis=-2), W)
-        f[d] = f[d].at[..., 0::3].add(fOd)
+        f[d] = f[d].at[..., 0::3].add(fO[d])
     return e_lj, e_coul, f
 
 

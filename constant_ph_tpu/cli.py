@@ -13,7 +13,9 @@ Config keys (all optional beyond `system`):
   engine:   {dt, thermostat, T, gamma, tau, lambda_nevery,
              lambda_thermostat, lambda_gamma, rebuild_every, force_cap}
   bias:     {w, s, k, a, b, r, m, d, switch_slope}  (Donnini–Ullmann defaults)
-  kspace:   {alpha, accuracy}        (enables Ewald reciprocal space)
+  kspace:   {style: ewald|pme, alpha, accuracy, spacing, p}
+            (factorized Ewald, or smooth PME on the tiled path —
+             spacing/p defaults per examples/probe_pme_params.py)
   run:      {steps, minimize_steps, equilibrate_steps, tiled: bool,
              checkpoint: path, restart: path, observe_every,
              output: path.jsonl|path.csv}
@@ -64,14 +66,38 @@ def _make_engines(cfg: dict, system):
     bias = BiasParams(**cfg.get("bias", {}))
     kspace_ep = None
     if "kspace" in cfg:
-        from constant_ph_tpu.ops.ewald import make_ewald_params
-
         ks = cfg["kspace"]
-        kspace_ep = make_ewald_params(
-            np.asarray(system.state.box), ks["alpha"],
-            accuracy=ks.get("accuracy", 1e-4),
-        )
+        if ks.get("style", "ewald") == "pme":
+            # PME spreads on a mesh aligned to the TILE grid, which exists
+            # only after split_system — defer construction (see
+            # _resolve_kspace) to the tiled path
+            kspace_ep = ("pme", dict(ks))
+        else:
+            from constant_ph_tpu.ops.ewald import make_ewald_params
+
+            kspace_ep = make_ewald_params(
+                np.asarray(system.state.box), ks["alpha"],
+                accuracy=ks.get("accuracy", 1e-4),
+            )
     return ecfg, bias, kspace_ep
+
+
+def _resolve_kspace(kspace_ep, box, ts):
+    """Materialize a deferred ("pme", spec) kspace into PMEParams now that
+    the tile grid is known. Defaults match examples/probe_pme_params.py's
+    tuned accuracy/speed point."""
+    import numpy as np
+
+    if not (isinstance(kspace_ep, tuple) and kspace_ep
+            and kspace_ep[0] == "pme"):
+        return kspace_ep
+    from constant_ph_tpu.ops.pme import make_pme_params
+
+    ks = kspace_ep[1]
+    return make_pme_params(
+        np.asarray(box), ts.params.grid, ks["alpha"],
+        spacing=ks.get("spacing", 1.5), p=ks.get("p", 6),
+    )
 
 
 def cmd_run(args):
@@ -108,6 +134,7 @@ def cmd_run(args):
             ts = split_system(system)
             tst = to_tiled(ts, state)
         tst = jax.device_put(tst, jax.devices()[0])
+        kspace_ep = _resolve_kspace(kspace_ep, system.state.box, ts)
         eng = TiledEngine(ts, ecfg, bias=bias, kspace_ep=kspace_ep)
         if run_cfg.get("minimize_steps", 200):
             tst, e = jax.jit(
@@ -121,6 +148,10 @@ def cmd_run(args):
     else:
         from constant_ph_tpu.minimize import fire_minimize
 
+        if isinstance(kspace_ep, tuple) and kspace_ep and kspace_ep[0] == "pme":
+            raise SystemExit(
+                "kspace style 'pme' requires the tiled engine "
+                "(run.tiled: true + rigid water); use style 'ewald' here")
         eng = system.make_engine(ecfg, bias=bias)
         if run_cfg.get("minimize_steps", 200):
             state, _ = fire_minimize(
@@ -228,6 +259,7 @@ def cmd_calibrate(args):
         ts = split_system(system)
         tst = to_tiled(ts, system.state)
     tst = jax.device_put(tst, jax.devices()[0])
+    kspace_ep = _resolve_kspace(kspace_ep, system.state.box, ts)
     eng = TiledEngine(ts, ecfg, bias=bias, kspace_ep=kspace_ep)
     tst, _ = jax.jit(eng.make_minimize(300))(tst)
     tst, _, _ = eng.run(tst, int(args.equil))

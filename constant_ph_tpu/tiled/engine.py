@@ -499,12 +499,25 @@ class TiledEngine:
         block = self.cfg.rebuild_every
         n_blocks = -(-n_steps // block)
 
+        # Dangerous-build monitor (LAMMPS `neigh_modify check` analog):
+        # only water-water relies on stencil coverage (solute blocks are
+        # all-pairs), and cells are sized so coverage holds while no two
+        # molecules approach by more than `skin` between rebins. A single
+        # molecule moving < skin/2 is GUARANTEED safe; moving > skin means
+        # a violation is possible — that certainly-dangerous case is OR'd
+        # into the overflow flag (the gray zone in between is accepted, as
+        # in LAMMPS dangerous-build accounting, because legitimate thermal
+        # tails would otherwise false-positive). Water is rigid, so O-row
+        # drift measures molecule translation without vibration noise.
+        drift_budget = self.ts.params.skin
+
         def run(st: TiledState):
             def outer(carry, _):
                 st, overflow = carry
                 st, ov = rebin(st, self.ts.params)
                 overflow = overflow | ov
                 frc = self.compute_forces(st)
+                wxO0 = st.wx[:, :, 0::3]
 
                 def inner(c, _):
                     s, f = c
@@ -513,6 +526,11 @@ class TiledEngine:
 
                 (st, frc), obs = jax.lax.scan(
                     inner, (st, frc), None, length=block)
+                # rows keep their identity within a block (rebinning only
+                # moves rows at block start), so plain differences measure
+                # true drift; parked rows don't move
+                dw2 = jnp.sum((st.wx[:, :, 0::3] - wxO0) ** 2, axis=0)
+                overflow = overflow | (jnp.max(dw2) > drift_budget ** 2)
                 return (st, overflow), obs
 
             (st, overflow), obs = jax.lax.scan(

@@ -46,6 +46,19 @@ def test_cli_run(tmp_path, capsys, tiled):
     assert len(lines) == 4
 
 
+def test_cli_run_pme(tmp_path, capsys):
+    """kspace style 'pme' end-to-end through the CLI tiled path."""
+    p = _write_cfg(tmp_path, True)
+    cfg = json.load(open(p))
+    cfg["kspace"] = {"style": "pme", "alpha": 0.3, "spacing": 1.5, "p": 4}
+    json.dump(cfg, open(p, "w"))
+    main(["run", p])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    summary = json.loads(out)
+    assert summary["steps"] == 40
+    assert np.isfinite(summary["e_pot"])
+
+
 def test_cli_titrate(tmp_path, capsys):
     p = _write_cfg(tmp_path, False)
     main(["titrate", p, "--ph", "4.0,5.0"])

@@ -18,7 +18,8 @@ Config keys (all optional beyond `system`):
              spacing/p defaults per examples/probe_pme_params.py)
   run:      {steps, minimize_steps, equilibrate_steps, tiled: bool,
              checkpoint: path, restart: path, observe_every,
-             output: path.jsonl|path.csv}
+             output: path.jsonl|path.csv,
+             trajectory: path.dcd, traj_every: N   (tiled path)}
 """
 from __future__ import annotations
 
@@ -141,10 +142,34 @@ def cmd_run(args):
                 eng.make_minimize(int(run_cfg.get("minimize_steps", 200)))
             )(tst)
             print(f"# minimized to E={float(e[-1]):.1f}", file=sys.stderr)
-        tst, overflow, obs = eng.run(tst, n_steps)
+        traj = run_cfg.get("trajectory")
+        if traj:
+            # DCD frames every traj_every steps (the dump-file analog):
+            # run in jitted chunks, write frames host-side between chunks
+            import jax.numpy as jnp
+
+            from constant_ph_tpu.trajectory import DCDWriter
+
+            every = int(run_cfg.get("traj_every", max(observe_every, 100)))
+            run_chunk = jax.jit(eng.make_run(every))
+            overflow = False
+            obs_parts = []
+            n_atoms = int(system.state.x.shape[0])
+            with DCDWriter(traj, n_atoms, dt_fs=ecfg.dt) as dw:
+                for _ in range(-(-n_steps // every)):
+                    tst, ov, obs_c = run_chunk(tst)
+                    overflow = overflow or bool(ov)
+                    dw.write_frame(np.asarray(to_canonical(ts, tst).x),
+                                   np.asarray(system.state.box))
+                    obs_parts.append(obs_c)
+            obs = jax.tree.map(lambda *a: jnp.concatenate(a), *obs_parts)
+            print(f"# trajectory -> {traj}", file=sys.stderr)
+        else:
+            tst, overflow, obs = eng.run(tst, n_steps)
         state = to_canonical(ts, tst)
         if bool(overflow):
-            print("# WARNING: tile overflow during run", file=sys.stderr)
+            print("# WARNING: tile overflow or dangerous build during run",
+                  file=sys.stderr)
     else:
         from constant_ph_tpu.minimize import fire_minimize
 

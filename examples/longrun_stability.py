@@ -1,0 +1,100 @@
+"""Production-robustness demonstration: 200 ps (100k steps, dt=2 fs HMR)
+of the 24k-atom headline system on one chip. Checks the whole stack end to
+end: no tile overflow, no dangerous builds (water drift > skin between
+rebins), finite conserved quantity, stable temperature, and λ actually
+sampling. Writes examples/results/longrun_v5e.json.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from constant_ph_tpu.engine import EngineConfig
+from constant_ph_tpu.systems.water import solvated_acid
+from constant_ph_tpu.tiled.engine import TiledEngine
+from constant_ph_tpu.tiled.layout import retile, split_system, to_tiled
+
+
+def log(msg):
+    print(f"# {msg}", file=sys.stderr, flush=True)
+
+
+def main():
+    n_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        sys_ = solvated_acid(
+            n_side=20, rigid_water=True, lambda_coupled=True,
+            cutoff=8.0, skin=0.8, coul_style="dsf", alpha=0.2, pH=5.0,
+            hmr=3.0,
+        )
+        ts = split_system(sys_, skin=0.8, tile_safety=1.72)
+        tst = to_tiled(ts, sys_.state)
+    dev = jax.devices()[0]
+    tst = jax.device_put(tst, dev)
+    n_atoms = sys_.state.x.shape[0]
+    log(f"{n_atoms} atoms")
+
+    cfg_eq = EngineConfig(dt=0.5, thermostat="langevin", T=300.0, gamma=0.01,
+                          lambda_thermostat="langevin", rebuild_every=8,
+                          force_cap=50.0)
+    eng_eq = TiledEngine(ts, cfg_eq)
+    tst, _ = jax.jit(eng_eq.make_minimize(400))(tst)
+    run_eq = jax.jit(eng_eq.make_run(400))
+    for _ in range(3):
+        tst, ov, obs = run_eq(tst)
+    occ = int(np.asarray(tst.wvalid).sum(axis=1).max())
+    with jax.default_device(cpu):
+        ts, tst = retile(ts, jax.tree.map(jnp.asarray, jax.device_get(tst)),
+                         occ + 7)
+    tst = jax.device_put(tst, dev)
+    log(f"equilibrated, W={ts.params.W}")
+
+    cfg = EngineConfig(dt=2.0, thermostat="langevin", T=300.0, gamma=0.002,
+                       lambda_thermostat="langevin", rebuild_every=8)
+    eng = TiledEngine(ts, cfg)
+    chunk = 4000
+    run = jax.jit(eng.make_run(chunk))
+    temps, lams, hs = [], [], []
+    overflow_any = False
+    t0 = time.perf_counter()
+    done = 0
+    while done < n_steps:
+        tst, ov, obs = run(tst)
+        done += chunk
+        overflow_any = overflow_any or bool(ov)
+        temps.append(float(obs.temp[-1]))
+        lams.append(float(obs.lam[-1, 0]))
+        hs.append(float(obs.h_conserved[-1]))
+        if done % 20000 == 0:
+            log(f"{done} steps: T={temps[-1]:.0f}K lam={lams[-1]:.2f} "
+                f"overflow={overflow_any}")
+    wall = time.perf_counter() - t0
+    lam_tail = np.asarray(obs.lam[:, 0])
+    result = {
+        "n_atoms": n_atoms,
+        "steps": done,
+        "ps": done * cfg.dt / 1000.0,
+        "ms_per_step": wall / done * 1e3,
+        "ns_per_day": done * cfg.dt / 1e6 / (wall / 86400.0),
+        "overflow_or_dangerous_build": overflow_any,
+        "all_finite": bool(np.all(np.isfinite(hs))),
+        "temp_mean_last": float(np.mean(temps[-10:])),
+        "lam_min": float(min(lams)), "lam_max": float(max(lams)),
+        "lam_frac_prot_tail": float((lam_tail < 0.2).mean()),
+    }
+    os.makedirs("examples/results", exist_ok=True)
+    with open("examples/results/longrun_v5e.json", "w") as fh:
+        json.dump(result, fh, indent=1)
+    print(json.dumps(result))
+    assert result["all_finite"] and not result["overflow_or_dangerous_build"]
+
+
+if __name__ == "__main__":
+    main()

@@ -59,6 +59,21 @@ def test_cli_run_pme(tmp_path, capsys):
     assert np.isfinite(summary["e_pot"])
 
 
+def test_cli_run_trajectory(tmp_path, capsys):
+    """run.trajectory writes a readable DCD with the right frame count."""
+    from constant_ph_tpu.trajectory import read_dcd
+
+    p = _write_cfg(tmp_path, True)
+    cfg = json.load(open(p))
+    cfg["run"]["trajectory"] = str(tmp_path / "t.dcd")
+    cfg["run"]["traj_every"] = 10
+    json.dump(cfg, open(p, "w"))
+    main(["run", p])
+    frames, _meta = read_dcd(str(tmp_path / "t.dcd"))
+    assert len(frames) == 4          # 40 steps / 10
+    assert np.all(np.isfinite(frames[-1]))
+
+
 def test_cli_titrate(tmp_path, capsys):
     p = _write_cfg(tmp_path, False)
     main(["titrate", p, "--ph", "4.0,5.0"])

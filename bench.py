@@ -77,12 +77,12 @@ def main():
     # build-time safety margin (layout.retile)
     import numpy as np
 
-    from constant_ph_tpu.tiled.layout import retile
+    from constant_ph_tpu.tiled.layout import retile_auto
 
     occ_max = int(np.asarray(tst.wvalid).sum(axis=1).max())
     with jax.default_device(cpu):
-        ts, tst = retile(ts, jax.tree.map(jnp.asarray, jax.device_get(tst)),
-                         occ_max + 6)
+        ts, tst = retile_auto(
+            ts, jax.tree.map(jnp.asarray, jax.device_get(tst)), occ_max)
     tst = jax.device_put(tst, dev)
     log(f"retiled: occ_max {occ_max} -> W {ts.params.W}")
 

@@ -409,6 +409,20 @@ def to_canonical(ts: TiledSystem, tstate: TiledState) -> SystemState:
     )
 
 
+def _pair_cost(W: int, nseg: int = 14) -> float:
+    """Padded-lane pair-work model of the chunked merged block
+    (tiled.forces): rows A=3W times the best chunk plan's padded lane
+    total, with the same 3%-per-extra-segment penalty."""
+    A = 3 * W
+    best = None
+    for k in range(1, min(nseg, 8) + 1):
+        sizes = [min(k, nseg - s) for s in range(0, nseg, k)]
+        padded = sum(-(-sz * A // 128) * 128 for sz in sizes)
+        cost = padded * (1.0 + 0.03 * (k - 1))
+        best = cost if best is None else min(best, cost)
+    return A * best
+
+
 def retile(ts: TiledSystem, tstate: TiledState, W: int):
     """Re-tile with a new per-cell capacity W (host-side, boundary only).
 
@@ -427,6 +441,23 @@ def retile(ts: TiledSystem, tstate: TiledState, W: int):
         grid=ts.params.grid, W=W, half_stencil=ts.params.half_stencil,
         cutoff=ts.params.cutoff, skin=ts.params.skin)
     return ts2, to_tiled(ts2, state)
+
+
+def retile_auto(ts: TiledSystem, tstate: TiledState, occ: int,
+                *, margin_min: int = 4, margin_max: int = 12):
+    """Cost-aware retile: choose W in [occ+margin_min, occ+margin_max]
+    minimizing the padded pair-work model (capacity quantizes against the
+    128-lane tile, so occ 51 → W=56 (A=168) is ~15% cheaper than W=60
+    (A=180) despite only 4 more slots; blind occ+margin rounding loses
+    that). Extra slots beyond margin_min only add safety."""
+    nseg = len(ts.params.half_stencil) + 1
+    w_lo = -(-(occ + margin_min) // 4) * 4      # retile quantizes W to 4s
+    best_w, best_c = None, None
+    for w in range(w_lo, occ + margin_max + 1, 4):
+        c = _pair_cost(w, nseg)
+        if best_c is None or c < best_c or (c == best_c and w > best_w):
+            best_w, best_c = w, c
+    return retile(ts, tstate, best_w)
 
 
 # ---------------------------------------------------------------------------

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from constant_ph_tpu.engine import EngineConfig
 from constant_ph_tpu.systems.water import solvated_acid
 from constant_ph_tpu.tiled.engine import TiledEngine
-from constant_ph_tpu.tiled.layout import retile, split_system, to_tiled
+from constant_ph_tpu.tiled.layout import retile_auto, split_system, to_tiled
 
 
 def log(msg):
@@ -51,8 +51,8 @@ def main():
         tst, ov, obs = run_eq(tst)
     occ = int(np.asarray(tst.wvalid).sum(axis=1).max())
     with jax.default_device(cpu):
-        ts, tst = retile(ts, jax.tree.map(jnp.asarray, jax.device_get(tst)),
-                         occ + 7)
+        ts, tst = retile_auto(
+            ts, jax.tree.map(jnp.asarray, jax.device_get(tst)), occ)
     tst = jax.device_put(tst, dev)
     log(f"equilibrated, W={ts.params.W}")
 

@@ -19,7 +19,7 @@ from constant_ph_tpu.engine import EngineConfig
 from constant_ph_tpu.ops.ewald import make_ewald_params
 from constant_ph_tpu.systems.protein import solvated_polypeptide
 from constant_ph_tpu.tiled.engine import TiledEngine
-from constant_ph_tpu.tiled.layout import retile, split_system, to_tiled
+from constant_ph_tpu.tiled.layout import retile_auto, split_system, to_tiled
 
 
 def log(msg):
@@ -38,8 +38,8 @@ def equilibrate_and_retile(sys_, ts, tst, dev, margin=6):
     occ = int(np.asarray(tst.wvalid).sum(axis=1).max())
     cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu):
-        ts, tst = retile(ts, jax.tree.map(jnp.asarray, jax.device_get(tst)),
-                         occ + margin)
+        ts, tst = retile_auto(
+            ts, jax.tree.map(jnp.asarray, jax.device_get(tst)), occ)
     log(f"equilibrated T={float(obs.temp[-1]):.0f}K, retiled occ {occ} "
         f"-> W {ts.params.W}")
     return ts, jax.device_put(tst, dev)

@@ -21,7 +21,7 @@ from constant_ph_tpu.ops.ewald import make_ewald_params
 from constant_ph_tpu.ops.pme import make_pme_params
 from constant_ph_tpu.systems.protein import solvated_polypeptide
 from constant_ph_tpu.tiled.engine import TiledEngine
-from constant_ph_tpu.tiled.layout import retile, split_system, to_tiled
+from constant_ph_tpu.tiled.layout import retile_auto, split_system, to_tiled
 
 
 def log(msg):
@@ -53,8 +53,8 @@ def main():
         tst, ov, obs = run(tst)
     occ = int(np.asarray(tst.wvalid).sum(axis=1).max())
     with jax.default_device(cpu):
-        ts, tst = retile(ts, jax.tree.map(jnp.asarray, jax.device_get(tst)),
-                         occ + 6)
+        ts, tst = retile_auto(
+            ts, jax.tree.map(jnp.asarray, jax.device_get(tst)), occ)
     tst = jax.device_put(tst, dev)
     log(f"retiled to W={ts.params.W}")
 

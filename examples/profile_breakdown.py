@@ -57,7 +57,10 @@ def main():
             cutoff=8.0, skin=0.8, coul_style="dsf", alpha=0.2, pH=5.0,
             hmr=3.0,
         )
-        ts = split_system(sys_, skin=0.8, tile_safety=1.72)
+        # tile_safety 1.45 -> W=60: near the production tiling bench.py
+        # reaches after equilibration+retile (W=56) so the breakdown
+        # reflects the real step, not the build-time W=76 padding
+        ts = split_system(sys_, skin=0.8, tile_safety=1.45)
         tst = to_tiled(ts, sys_.state)
     n_atoms = sys_.state.x.shape[0]
     p = ts.params
@@ -151,6 +154,25 @@ def main():
             return st2, jnp.sum(st2.wx[0, 0, :4])
         return lambda: body
 
+    def mk_shake_vel():
+        def body(st):
+            wv = eng.shake.velocities(st.wx, st.wv + 1e-9, st.box, st.wvalid)
+            return st.replace(wv=wv), jnp.sum(wv[0, 0, :4])
+        return lambda: body
+
+    def mk_langevin_rng():
+        import jax as _jax
+
+        c1 = jnp.exp(-cfg.gamma * cfg.dt)
+        def body(st):
+            key, kw, ks_ = _jax.random.split(st.key, 3)
+            wv = c1 * st.wv + 1e-3 * _jax.random.normal(
+                kw, st.wv.shape, dtype=st.wv.dtype)
+            sv = c1 * st.sv + 1e-3 * _jax.random.normal(
+                ks_, st.sv.shape, dtype=st.sv.dtype)
+            return st.replace(wv=wv, sv=sv, key=key), jnp.sum(wv[0, 0, :4])
+        return lambda: body
+
     profile("ww_xla", mk_ww(False), tst)
     profile("ww_fast", mk_ww_fast(), tst)
     profile("ww_pallas", mk_ww(True), tst)
@@ -160,6 +182,8 @@ def main():
     profile("full_forces", mk_forces(), tst)
     profile("full_step(2x forces)", mk_step(), tst)
     profile("rebin", mk_rebin(), tst)
+    profile("shake_velocities", mk_shake_vel(), tst)
+    profile("langevin_rng", mk_langevin_rng(), tst)
 
 
 if __name__ == "__main__":

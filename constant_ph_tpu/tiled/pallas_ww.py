@@ -1,13 +1,21 @@
-"""Pallas water-water kernel: the fused hot loop.
+"""Pallas water-water kernel (validated alternative to the XLA hot path).
 
-The XLA roll-stencil in tiled/forces.py streams (G, A, A) pair intermediates
-through HBM (~1.3 ms per stencil offset at 24k atoms — bandwidth-bound).
 This kernel keeps everything in VMEM: the pallas grid runs over cells, the
 27 stencil neighbors arrive as 27 BlockSpec VIEWS of the same tile array
 (index_map = (c+offset) mod grid — the pipeline double-buffers the DMAs),
 and each (A, A) pair block is computed and reduced on the VPU without ever
 touching HBM. i-side-only accumulation over the full stencil (every pair
 computed from both cells) avoids cross-block writes entirely.
+
+Status: the production hot path is tiled/forces.water_water_fast — XLA
+multi-output-fuses the half-stencil chunked-lane blocks without
+materializing pair intermediates, and with half the pair math (both-side
+accumulation), masklessness, and Chebyshev screening it measures ~4×
+faster than this kernel (2.5 vs 10.5 ms at 24k atoms, W=64). The kernel
+is kept as the Pallas reference implementation, the full-tally oracle in
+interpret mode (tests/test_pallas_ww.py — the SURVEY §5.2 "sanitizer"
+policy), and the starting point if a future Mosaic version changes the
+fusion picture.
 
 Tile row layout (8, A) with A = 3W atom slots:
   0..2 x,y,z · 3 charge (pattern×valid, 0 for pads) · 4 LJ mask (valid O

@@ -218,6 +218,17 @@ def test_fast_ww_matches_tally_path():
         assert not bool(overflow)
 
 
+def test_retile_auto_cost_model():
+    """retile_auto picks the cheapest padded-lane W, not blind occ+margin:
+    at occ 51 the 128-lane quantization makes W=56 (A=168, chunk 3x168=504
+    just under 512) ~15% cheaper than W=60 (A=180)."""
+    from constant_ph_tpu.tiled.layout import _pair_cost
+
+    assert _pair_cost(56) < _pair_cost(60)
+    costs = {w: _pair_cost(w) for w in range(56, 64, 4)}
+    assert min(costs, key=costs.get) == 56
+
+
 def test_retile_capacity():
     """retile() shrinks W and preserves state + energies exactly."""
     from constant_ph_tpu.tiled.layout import retile

@@ -23,15 +23,11 @@ _C = np.array([[1.0, -1.0, 0.0],
                [0.0, 1.0, -1.0]])
 
 
-def _solve3(A, b):
-    """Batched 3×3 solve via Cramer's rule — pure VPU elementwise math
-    (jnp.linalg.solve's LAPACK-style path is a poor fit for TPU kernels).
-
-    A: (..., 3, 3), b: (..., 3) → (..., 3).
-    """
-    a00, a01, a02 = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
-    a10, a11, a12 = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
-    a20, a21, a22 = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+def solve3_components(a00, a01, a02, a10, a11, a12, a20, a21, a22,
+                      b0, b1, b2):
+    """Cramer 3×3 solve on component arrays (any broadcastable shape) —
+    pure VPU elementwise math. Shared by the (...,3,3) wrapper below and
+    the lane-native tiled SHAKE (tiled/shake.py)."""
     c00 = a11 * a22 - a12 * a21
     c01 = a12 * a20 - a10 * a22
     c02 = a10 * a21 - a11 * a20
@@ -39,13 +35,26 @@ def _solve3(A, b):
     # degenerate system (violently distorted molecule): return zero update
     # instead of a huge one — the caller's next iteration/step recovers
     inv_det = jnp.where(jnp.abs(det) > 1e-6, 1.0 / det, 0.0)
-    b0, b1, b2 = b[..., 0], b[..., 1], b[..., 2]
     x0 = (b0 * c00 + b1 * (a02 * a21 - a01 * a22)
           + b2 * (a01 * a12 - a02 * a11)) * inv_det
     x1 = (b0 * c01 + b1 * (a00 * a22 - a02 * a20)
           + b2 * (a02 * a10 - a00 * a12)) * inv_det
     x2 = (b0 * c02 + b1 * (a01 * a20 - a00 * a21)
           + b2 * (a00 * a11 - a01 * a10)) * inv_det
+    return x0, x1, x2
+
+
+def _solve3(A, b):
+    """Batched 3×3 solve via Cramer's rule (jnp.linalg.solve's
+    LAPACK-style path is a poor fit for TPU kernels).
+
+    A: (..., 3, 3), b: (..., 3) → (..., 3).
+    """
+    x0, x1, x2 = solve3_components(
+        A[..., 0, 0], A[..., 0, 1], A[..., 0, 2],
+        A[..., 1, 0], A[..., 1, 1], A[..., 1, 2],
+        A[..., 2, 0], A[..., 2, 1], A[..., 2, 2],
+        b[..., 0], b[..., 1], b[..., 2])
     return jnp.stack([x0, x1, x2], axis=-1)
 
 

@@ -20,7 +20,12 @@ from constant_ph_tpu.ops.kernels import (
     lj_kernel,
 )
 from constant_ph_tpu.state import min_image
-from constant_ph_tpu.tiled.layout import SoluteTables, TileParams, WaterModel
+from constant_ph_tpu.tiled.layout import (
+    SoluteTables,
+    TileParams,
+    WaterModel,
+    pair_chunk_plan,
+)
 
 
 @struct.dataclass
@@ -454,20 +459,9 @@ def water_water_fast(wxg, wm: WaterModel, p: TileParams, box,
         ljm_all[:, -W:] = 0.5 * (1.0 - np.eye(W))
         e_scale = 1.0
 
-    # chunk plan: group k segments per pair block so the chunk lane width
-    # k·A sits just under a multiple of 128 (v5e lane tile). k=1 wastes up
-    # to 52% of the lanes (A=168→256); one giant merge (k=nseg) has ~0%
-    # pad but measured ~20% scheduling overhead at A=228 — the mild
-    # 3%-per-extra-segment penalty below reproduces that tradeoff.
+    # chunk plan: shared cost model with retile_auto (layout.pair_chunk_plan)
     def _chunk_plan(n):
-        best_k, best_cost = 1, None
-        for k in range(1, min(nseg, 8) + 1):
-            sizes = [min(k, nseg - s) for s in range(0, nseg, k)]
-            padded = sum(-(-sz * n // 128) * 128 for sz in sizes)
-            cost = padded * (1.0 + 0.03 * (k - 1))
-            if best_cost is None or cost < best_cost:
-                best_k, best_cost = k, cost
-        return best_k
+        return pair_chunk_plan(n, nseg)[0]
 
     seg_offsets = list(stencil) + [None]                   # None = self
 

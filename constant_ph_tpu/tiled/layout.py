@@ -409,18 +409,30 @@ def to_canonical(ts: TiledSystem, tstate: TiledState) -> SystemState:
     )
 
 
-def _pair_cost(W: int, nseg: int = 14) -> float:
-    """Padded-lane pair-work model of the chunked merged block
-    (tiled.forces): rows A=3W times the best chunk plan's padded lane
-    total, with the same 3%-per-extra-segment penalty."""
-    A = 3 * W
-    best = None
+def pair_chunk_plan(n: int, nseg: int):
+    """Chunk plan for merging `nseg` stencil segments of lane width `n`
+    into pair blocks: group k segments so each chunk's lane width sits
+    just under a multiple of 128 (v5e lane tile). k=1 wastes up to 52% of
+    the lanes (n=168→256); one giant merge (k=nseg) has ~0% pad but
+    measured ~20% scheduling overhead at n=228 — the mild 3%-per-extra-
+    segment penalty reproduces that tradeoff (examples/probe_ww_variants).
+    Returns (best_k, modeled_cost). Single source of truth for both the
+    merged pair block (tiled/forces.py) and retile_auto's W search."""
+    best_k, best_cost = 1, None
     for k in range(1, min(nseg, 8) + 1):
         sizes = [min(k, nseg - s) for s in range(0, nseg, k)]
-        padded = sum(-(-sz * A // 128) * 128 for sz in sizes)
+        padded = sum(-(-sz * n // 128) * 128 for sz in sizes)
         cost = padded * (1.0 + 0.03 * (k - 1))
-        best = cost if best is None else min(best, cost)
-    return A * best
+        if best_cost is None or cost < best_cost:
+            best_k, best_cost = k, cost
+    return best_k, best_cost
+
+
+def _pair_cost(W: int, nseg: int = 14) -> float:
+    """Padded-lane pair-work model: rows A=3W times the best chunk plan's
+    modeled padded-lane total."""
+    A = 3 * W
+    return A * pair_chunk_plan(A, nseg)[1]
 
 
 def retile(ts: TiledSystem, tstate: TiledState, W: int):
@@ -452,10 +464,10 @@ def retile_auto(ts: TiledSystem, tstate: TiledState, occ: int,
     that). Extra slots beyond margin_min only add safety."""
     nseg = len(ts.params.half_stencil) + 1
     w_lo = -(-(occ + margin_min) // 4) * 4      # retile quantizes W to 4s
-    best_w, best_c = None, None
-    for w in range(w_lo, occ + margin_max + 1, 4):
+    best_w, best_c = w_lo, _pair_cost(w_lo, nseg)
+    for w in range(w_lo + 4, occ + margin_max + 1, 4):
         c = _pair_cost(w, nseg)
-        if best_c is None or c < best_c or (c == best_c and w > best_w):
+        if c < best_c or (c == best_c and w > best_w):
             best_w, best_c = w, c
     return retile(ts, tstate, best_w)
 

@@ -18,24 +18,9 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
+from constant_ph_tpu.ops.constraints import _C, solve3_components
 from constant_ph_tpu.state import min_image
 from constant_ph_tpu.tiled.layout import TileParams, WaterModel
-
-
-def _solve3_c(a00, a01, a02, a10, a11, a12, a20, a21, a22, b0, b1, b2):
-    """Cramer 3×3 solve on component arrays (any broadcastable shape)."""
-    c00 = a11 * a22 - a12 * a21
-    c01 = a12 * a20 - a10 * a22
-    c02 = a10 * a21 - a11 * a20
-    det = a00 * c00 + a01 * c01 + a02 * c02
-    inv_det = jnp.where(jnp.abs(det) > 1e-6, 1.0 / det, 0.0)
-    x0 = (b0 * c00 + b1 * (a02 * a21 - a01 * a22)
-          + b2 * (a01 * a12 - a02 * a11)) * inv_det
-    x1 = (b0 * c01 + b1 * (a00 * a22 - a02 * a20)
-          + b2 * (a02 * a10 - a00 * a12)) * inv_det
-    x2 = (b0 * c02 + b1 * (a01 * a20 - a00 * a21)
-          + b2 * (a00 * a11 - a01 * a10)) * inv_det
-    return x0, x1, x2
 
 
 def _dot3(a, b):
@@ -45,15 +30,12 @@ def _dot3(a, b):
 
 class TiledWaterShake:
     def __init__(self, wm: WaterModel, p: TileParams, n_newton: int = 10):
-        self.p = p
+        del p  # layout is implied by the strided slices; kept for API shape
         self.n_newton = n_newton
         inv_m = 1.0 / np.array(wm.mass_pattern)
         self.inv_m = tuple(float(v) for v in inv_m)
         # W3[c,e] = Σ_t C[c,t] C[e,t] / m_t for C rows (0-1, 0-2, 1-2)
-        C = np.array([[1.0, -1.0, 0.0],
-                      [1.0, 0.0, -1.0],
-                      [0.0, 1.0, -1.0]])
-        self.W3 = np.einsum("ct,dt,t->cd", C, C, inv_m)
+        self.W3 = np.einsum("ct,dt,t->cd", _C, _C, inv_m)
         self.d2 = (wm.d_OH ** 2, wm.d_OH ** 2, wm.d_HH ** 2)
 
     def _atoms(self, w):
@@ -77,7 +59,7 @@ class TiledWaterShake:
 
     def _solve(self, A_rows, b):
         """k = A⁻¹ b with A[c,e] = W3[c,e]·gram[c,e] given as 9 arrays."""
-        return _solve3_c(*A_rows, *b)
+        return solve3_components(*A_rows, *b)
 
     def positions(self, wx_ref, wx, wv, box, dt, wvalid):
         im0, im1, im2 = self.inv_m
@@ -90,6 +72,13 @@ class TiledWaterShake:
         d0 = jnp.zeros_like(x0)
         d1 = jnp.zeros_like(x1)
         d2_ = jnp.zeros_like(x2)
+        def clamp(dx):
+            # trust region (matches ops.constraints.mshake_delta): a
+            # near-singular geometry must not catapult atoms — cap each
+            # atom's per-iteration move at 0.5 Å
+            norm = jnp.sqrt(_dot3(dx, dx) + 1e-20)[None]
+            return dx * jnp.minimum(1.0, 0.5 / norm)
+
         for _ in range(self.n_newton):
             s0, s1, s2 = self._bonds(x0 + d0, x1 + d1, x2 + d2_)
             s = (s0, s1, s2)
@@ -97,9 +86,9 @@ class TiledWaterShake:
             A = [W3[c, e] * _dot3(s[c], sr[e])
                  for c in range(3) for e in range(3)]
             k0, k1, k2 = self._solve(A, (-g[0], -g[1], -g[2]))
-            d0 = d0 + im0 * (k0 * sr0 + k1 * sr1)
-            d1 = d1 + im1 * (-k0 * sr0 + k2 * sr2)
-            d2_ = d2_ + im2 * (-k1 * sr1 - k2 * sr2)
+            d0 = d0 + clamp(im0 * (k0 * sr0 + k1 * sr1))
+            d1 = d1 + clamp(im1 * (-k0 * sr0 + k2 * sr2))
+            d2_ = d2_ + clamp(im2 * (-k1 * sr1 - k2 * sr2))
 
         vm = (wvalid > 0.5)[None, :, :]
         d0 = jnp.where(vm, d0, 0.0)

@@ -26,7 +26,7 @@ def log(msg):
     print(f"# {msg}", file=sys.stderr, flush=True)
 
 
-def equilibrate_and_retile(sys_, ts, tst, dev, margin=6):
+def equilibrate_and_retile(sys_, ts, tst, dev):
     cfg_eq = EngineConfig(dt=0.5, thermostat="langevin", T=300.0, gamma=0.01,
                           lambda_thermostat="langevin", rebuild_every=8,
                           force_cap=50.0)

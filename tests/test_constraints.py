@@ -79,3 +79,80 @@ def test_shake_across_pbc():
     assert abs(dmin(o, h1) - R_OH) < 1e-5
     assert abs(dmin(o, h2) - R_OH) < 1e-5
     assert abs(dmin(h1, h2) - R_HH) < 1e-5
+
+
+def test_tiled_shake_matches_reference_core():
+    """Lane-native TiledWaterShake vs the ops.constraints molecule-batch
+    cores on random batches INCLUDING near-degenerate (almost collinear)
+    molecules — the trust-region and masking behavior must match, not just
+    equilibrated-geometry results (the confirmed round-1 regression was a
+    dropped trust-region clamp only visible on pathological inputs)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from constant_ph_tpu.ops.constraints import (
+        _C, mrattle_dv, mshake_delta,
+    )
+    from constant_ph_tpu.tiled.layout import TileParams, WaterModel
+    from constant_ph_tpu.tiled.shake import TiledWaterShake
+
+    rng = np.random.default_rng(0)
+    G, W = 4, 8
+    M = G * W
+    d_OH, d_HH = 1.0, 1.633
+    wm = WaterModel(-0.8476, 0.4238, 625.5, 629400.0, 0.0,
+                    d_OH, d_HH, 15.9994, 1.008)
+    p = TileParams(grid=(1, 1, 4), W=W, half_stencil=(),
+                   cutoff=4.0, skin=1.0)
+    box = jnp.asarray([50.0, 50.0, 50.0])
+
+    # reference geometry + noise; make some molecules nearly collinear
+    base = np.array([[0.0, 0.0, 0.0], [d_OH, 0.0, 0.0],
+                     [-0.3, 0.95, 0.0]])
+    xm_ref = np.tile(base, (M, 1, 1)) + rng.normal(0, 0.02, (M, 3, 3))
+    xm_ref += rng.uniform(5, 45, (M, 1, 3))
+    xm = xm_ref + rng.normal(0, 0.15, (M, 3, 3))
+    xm[: M // 4, 2] = xm[: M // 4, 0] + (
+        xm[: M // 4, 1] - xm[: M // 4, 0]
+    ) * 1.02 + rng.normal(0, 1e-3, (M // 4, 3))   # near-collinear
+    vm = rng.normal(0, 0.05, (M, 3, 3))
+    valid = (rng.uniform(size=M) > 0.2).astype(np.float32)
+
+    inv_m = 1.0 / np.array(wm.mass_pattern)
+    W3 = np.einsum("ct,dt,t->cd", _C, _C, inv_m)[None]
+    d2 = np.array([d_OH**2, d_OH**2, d_HH**2])
+    delta_ref = np.asarray(mshake_delta(
+        jnp.asarray(xm, jnp.float32), jnp.asarray(xm_ref, jnp.float32),
+        jnp.asarray(inv_m[None], jnp.float32), jnp.asarray(W3, jnp.float32),
+        jnp.asarray(_C, jnp.float32), jnp.asarray(d2, jnp.float32), 10))
+    dv_ref = np.asarray(mrattle_dv(
+        jnp.asarray(xm, jnp.float32), jnp.asarray(vm, jnp.float32),
+        jnp.asarray(inv_m[None], jnp.float32), jnp.asarray(W3, jnp.float32),
+        jnp.asarray(_C, jnp.float32)))
+    delta_ref = delta_ref * valid[:, None, None]
+    dv_ref = dv_ref * valid[:, None, None]
+
+    # pack into tile layout (3, G, 3W): mol m -> cell m//W slot m%W
+    def to_tiles(a):
+        return jnp.asarray(
+            a.reshape(G, W, 3, 3).transpose(3, 0, 1, 2).reshape(3, G, 3 * W),
+            jnp.float32)
+
+    wx = to_tiles(xm)
+    wxr = to_tiles(xm_ref)
+    wvv = to_tiles(vm)
+    wvalid = jnp.asarray(valid.reshape(G, W))
+
+    shake = TiledWaterShake(wm, p)
+    wx2, _ = shake.positions(wxr, wx, jnp.zeros_like(wvv), box, 1.0, wvalid)
+    delta_tiled = np.asarray(wx2 - wx)
+    delta_tiled = delta_tiled.reshape(3, G, W, 3).transpose(1, 2, 3, 0)\
+        .reshape(M, 3, 3)
+    np.testing.assert_allclose(delta_tiled, delta_ref, atol=2e-4)
+    # the trust region must bound every atom move even for the collinear set
+    assert np.abs(delta_tiled).max() < 10 * 0.5 + 1.0
+
+    wv2 = shake.velocities(wx, wvv, box, wvalid)
+    dv_tiled = np.asarray(wv2 - wvv).reshape(3, G, W, 3)\
+        .transpose(1, 2, 3, 0).reshape(M, 3, 3)
+    np.testing.assert_allclose(dv_tiled, dv_ref, atol=2e-4)

@@ -80,15 +80,24 @@ def main():
     from constant_ph_tpu.tiled.layout import retile_auto
 
     occ_max = int(np.asarray(tst.wvalid).sum(axis=1).max())
+    # margin_min=4 is valid for this short (~1.4 ps) measurement window —
+    # occupancy can't drift meaningfully; long production runs use the
+    # elastic retile-on-flag loop instead (examples/longrun_stability.py)
     with jax.default_device(cpu):
         ts, tst = retile_auto(
-            ts, jax.tree.map(jnp.asarray, jax.device_get(tst)), occ_max)
+            ts, jax.tree.map(jnp.asarray, jax.device_get(tst)), occ_max,
+            margin_min=4)
     tst = jax.device_put(tst, dev)
     log(f"retiled: occ_max {occ_max} -> W {ts.params.W}")
 
+    # rebuild cadence: rebin costs ~1.5-2 ms, so longer intervals
+    # amortize it; the dangerous-build monitor in make_run flags any
+    # interval that lets water drift past the skin (overridable for A/B:
+    # `python bench.py [rebuild_every]`)
+    rebuild_every = int(sys.argv[1]) if len(sys.argv) > 1 else 12
     cfg = EngineConfig(
         dt=dt, thermostat="langevin", T=300.0, gamma=0.002,
-        lambda_thermostat="langevin", rebuild_every=8,
+        lambda_thermostat="langevin", rebuild_every=rebuild_every,
     )
     eng = TiledEngine(ts, cfg)
     block_steps = cfg.rebuild_every

@@ -456,7 +456,7 @@ def retile(ts: TiledSystem, tstate: TiledState, W: int):
 
 
 def retile_auto(ts: TiledSystem, tstate: TiledState, occ: int,
-                *, margin_min: int = 4, margin_max: int = 12):
+                *, margin_min: int = 6, margin_max: int = 14):
     """Cost-aware retile: choose W in [occ+margin_min, occ+margin_max]
     minimizing the padded pair-work model (capacity quantizes against the
     128-lane tile, so occ 51 → W=56 (A=168) is ~15% cheaper than W=60
@@ -514,7 +514,11 @@ def rebin(tstate: TiledState, p: TileParams):
     key_s = key[order]
     first = jnp.searchsorted(key_s, key_s, side="left")
     rank = jnp.arange(G * W, dtype=jnp.int32) - first.astype(jnp.int32)
-    overflow = jnp.any((rank >= W) & (key_s < G))
+    # flag one slot EARLY (rank == W-1 fills the last slot): the state is
+    # still complete when the flag first trips, so callers can retile to a
+    # larger W before any molecule is dropped (rank >= W overwrites slot
+    # W-1 and silently loses rows — the flag must precede that)
+    overflow = jnp.any((rank >= W - 1) & (key_s < G))
     slot = jnp.clip(rank, 0, W - 1)
     dest = jnp.where(key_s < G, key_s * W + slot, G * W)  # drop invalid
 

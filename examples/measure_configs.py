@@ -85,7 +85,7 @@ def main():
     ts, tst = equilibrate_and_retile(sys_, ts, tst, dev)
 
     cfg = EngineConfig(dt=dt, thermostat="langevin", T=300.0, gamma=0.002,
-                       lambda_thermostat="langevin", rebuild_every=8)
+                       lambda_thermostat="langevin", rebuild_every=12)
     eng = TiledEngine(ts, cfg)
     ms, nsday, ok, T = measure(eng, tst, dt)
     print(f"config4 polypeptide DSF: {ms:.2f} ms/step  {nsday:.1f} ns/day "

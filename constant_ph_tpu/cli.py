@@ -142,33 +142,56 @@ def cmd_run(args):
                 eng.make_minimize(int(run_cfg.get("minimize_steps", 200)))
             )(tst)
             print(f"# minimized to E={float(e[-1]):.1f}", file=sys.stderr)
-        traj = run_cfg.get("trajectory")
-        if traj:
-            # DCD frames every traj_every steps (the dump-file analog):
-            # run in jitted chunks, write frames host-side between chunks
-            import jax.numpy as jnp
+        # optional equilibrate + cost-aware retile: pair work scales with
+        # the padded tile capacity, so production runs first measure the
+        # equilibrated occupancy and tighten W (layout.retile_auto)
+        eq_steps = int(run_cfg.get("equilibrate_steps", 0))
+        if eq_steps:
+            from constant_ph_tpu.tiled.layout import retile_auto
 
+            tst, _, _ = eng.run(tst, eq_steps)
+            occ = int(np.asarray(tst.wvalid).sum(axis=1).max())
+            with jax.default_device(cpu):
+                ts, tst = retile_auto(
+                    ts, jax.tree.map(jnp.asarray, jax.device_get(tst)), occ)
+            tst = jax.device_put(tst, jax.devices()[0])
+            print(f"# equilibrated {eq_steps} steps, retiled occ {occ} -> "
+                  f"W {ts.params.W}", file=sys.stderr)
+
+        # elastic production run (tiled/elastic.py): jitted chunks, grow
+        # capacity on the early overflow flag, count dangerous builds
+        import jax.numpy as jnp
+
+        from constant_ph_tpu.tiled.elastic import elastic_run
+
+        traj = run_cfg.get("trajectory")
+        every = int(run_cfg.get("traj_every", max(observe_every, 100)))
+        chunk = every if traj else min(n_steps, 2000)
+        dw = None
+        if traj:
             from constant_ph_tpu.trajectory import DCDWriter
 
-            every = int(run_cfg.get("traj_every", max(observe_every, 100)))
-            run_chunk = jax.jit(eng.make_run(every))
-            overflow = False
-            obs_parts = []
-            n_atoms = int(system.state.x.shape[0])
-            with DCDWriter(traj, n_atoms, dt_fs=ecfg.dt) as dw:
-                for _ in range(-(-n_steps // every)):
-                    tst, ov, obs_c = run_chunk(tst)
-                    overflow = overflow or bool(ov)
-                    dw.write_frame(np.asarray(to_canonical(ts, tst).x),
-                                   np.asarray(system.state.box))
-                    obs_parts.append(obs_c)
-            obs = jax.tree.map(lambda *a: jnp.concatenate(a), *obs_parts)
+            dw = DCDWriter(traj, int(system.state.x.shape[0]),
+                           dt_fs=ecfg.dt)
+
+        def on_chunk(done, ts_c, tst_c, obs_c):
+            if dw is not None:
+                dw.write_frame(np.asarray(to_canonical(ts_c, tst_c).x),
+                               np.asarray(system.state.box))
+
+        ts, tst, obs, info = elastic_run(
+            ts, tst, ecfg, n_steps, chunk=chunk, bias=bias,
+            kspace_ep=kspace_ep, on_chunk=on_chunk)
+        if dw is not None:
+            dw.close()
             print(f"# trajectory -> {traj}", file=sys.stderr)
-        else:
-            tst, overflow, obs = eng.run(tst, n_steps)
         state = to_canonical(ts, tst)
-        if bool(overflow):
-            print("# WARNING: tile overflow or dangerous build during run",
+        if info.n_retiles:
+            print(f"# retiled {info.n_retiles}x (final W {info.final_W})",
+                  file=sys.stderr)
+        if info.n_dangerous_blocks:
+            print(f"# WARNING: {info.n_dangerous_blocks} dangerous-build "
+                  f"blocks (water drift past skin between rebins)",
                   file=sys.stderr)
     else:
         from constant_ph_tpu.minimize import fire_minimize

@@ -38,8 +38,11 @@ def equilibrate_and_retile(sys_, ts, tst, dev):
     occ = int(np.asarray(tst.wvalid).sum(axis=1).max())
     cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu):
+        # margin_min=4 valid for the short (~1 ps) measurement window;
+        # long production runs use the elastic loop (tiled/elastic.py)
         ts, tst = retile_auto(
-            ts, jax.tree.map(jnp.asarray, jax.device_get(tst)), occ)
+            ts, jax.tree.map(jnp.asarray, jax.device_get(tst)), occ,
+            margin_min=4)
     log(f"equilibrated T={float(obs.temp[-1]):.0f}K, retiled occ {occ} "
         f"-> W {ts.params.W}")
     return ts, jax.device_put(tst, dev)

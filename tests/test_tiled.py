@@ -308,3 +308,39 @@ def test_pme_matches_factorized_ewald():
     ke = np.asarray(obs.ke, np.float64)
     assert np.isfinite(h).all()
     assert abs(h[-1] - h[0]) < 0.05 * ke.mean(), (h[0], h[-1], ke.mean())
+
+
+def test_elastic_run_grows_capacity():
+    """elastic_run must grow W on the early overflow flag without losing
+    molecules (the grow-on-overflow analog of LAMMPS memory->grow)."""
+    from constant_ph_tpu.tiled.elastic import elastic_run
+    from constant_ph_tpu.tiled.layout import retile
+
+    sys_ = solvated_acid(
+        n_side=8, rigid_water=True, lambda_coupled=True,
+        cutoff=6.0, skin=1.5, coul_style="dsf", alpha=0.2, seed=5, pH=5.0,
+    )
+    cfg = EngineConfig(dt=1.0, thermostat="langevin", T=300.0, gamma=0.01,
+                       lambda_thermostat="langevin", rebuild_every=5)
+    ts = split_system(sys_, skin=1.5)
+    tst = to_tiled(ts, sys_.state)
+    eng = TiledEngine(ts, cfg)
+    tst, _ = jax.jit(eng.make_minimize(100))(tst)
+
+    # retile down to the tightest capacity that still fits RIGHT NOW —
+    # thermal occupancy fluctuation will trip the early flag quickly
+    occ = int(np.asarray(tst.wvalid).sum(axis=1).max())
+    W_tight = max(4, -(-occ // 4) * 4)
+    ts, tst = retile(ts, tst, W_tight)
+    n_waters = int(np.asarray(tst.wvalid).sum())
+
+    ts2, tst2, obs, info = elastic_run(
+        ts, tst, cfg, 200, chunk=20, margin_min=4,
+        device=jax.devices()[0])
+    assert int(np.asarray(tst2.wvalid).sum()) == n_waters
+    assert ts2.params.W >= W_tight
+    assert obs.temp.shape[0] == 200
+    assert bool(jnp.all(jnp.isfinite(obs.h_conserved)))
+    # the tight retile makes at least one growth likely but not certain;
+    # the invariants above are the real assertions — just exercise info
+    assert info.final_W == ts2.params.W

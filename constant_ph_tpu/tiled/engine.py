@@ -132,7 +132,7 @@ class TiledEngine:
         if fast_ok:
             e_lj_ws, e_c_ws, f_w_ws, f_s_ws, phi_s_ws = \
                 tforces.water_solute_fast(
-                    wxg, wvg, st.sx, qs, ts.solute, ts.water, p, box,
+                    wxg, st.sx, qs, ts.solute, ts.water, p, box,
                     style=style, alpha=alpha, rc=rc)
             eatom_w_ws = jnp.zeros((gx, gy, gz, 3 * W), st.wx.dtype)
             eatom_s_ws = jnp.zeros_like(qs)

@@ -198,7 +198,7 @@ def solute_solute(sx, qs, st: SoluteTables, box, *, style, alpha, rc):
     return bs.e_lj, bs.e_coul, jnp.stack(bs.fi, axis=-1), bs.eatom_i, bs.phi_i
 
 
-def water_solute_fast(wxg, wvalid, sx, qs, st: SoluteTables, wm: WaterModel,
+def water_solute_fast(wxg, sx, qs, st: SoluteTables, wm: WaterModel,
                       p: TileParams, box, *, style, alpha, rc):
     """Hot-path water×solute block.
 
@@ -234,16 +234,28 @@ def water_solute_fast(wxg, wvalid, sx, qs, st: SoluteTables, wm: WaterModel,
     c12p = jnp.asarray(lj_pat[:, None], dtype) * (st.c12_cross * st.smask)
     eshp = jnp.asarray(lj_pat[:, None], dtype) * (st.eshift_cross * st.smask)
 
+    # per-CELL image resolution instead of per-pair min-image: water
+    # atoms sit within cell_half + mol_radius of their cell center, so
+    # for every in-cutoff pair the solute atom's nearest image to the
+    # CELL CENTER is the right one (ambiguous images are ≥ L/2 −
+    # cell_half − mol_radius > rc away and get masked by the cutoff).
+    # Drops 3 round+2 fma per pair from the hot loop.
+    gx, gy, gz = p.grid
     dx = []
     r2 = None
     for d in range(3):
-        dd = wxg[d][..., :, None] - sx[:, d][None, None, None, None, :]
-        dd = min_image(dd, box[d])
+        g = (gx, gy, gz)[d]
+        cc = (jnp.arange(g, dtype=dtype) + 0.5) * (box[d] / g)
+        shp = [1, 1, 1]
+        shp[d] = g
+        cc = cc.reshape(shp + [1])                          # cell centers
+        sxd = sx[:, d][None, None, None, :]                 # (1,1,1,Ns)
+        img = sxd - box[d] * jnp.round((sxd - cc) / box[d])
+        dd = wxg[d][..., :, None] - img[..., None, :]       # (...,A,Ns)
         dx.append(dd)
         r2 = dd * dd if r2 is None else r2 + dd * dd
     r2 = jnp.maximum(r2, R2_MIN)                            # (...,A,Ns)
-    vm = jnp.repeat(wvalid, 3, axis=-1)                     # (gx,gy,gz,A)
-    in_rc = vm[..., :, None] * (r2 < rc2).astype(dtype)
+    in_rc = (r2 < rc2).astype(dtype)
 
     inv_r = jax.lax.rsqrt(r2)
     inv_r2 = inv_r * inv_r

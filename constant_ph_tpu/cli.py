@@ -98,11 +98,13 @@ def _resolve_kspace(kspace_ep, box, ts):
     return make_pme_params(
         np.asarray(box), ts.params.grid, ks["alpha"],
         spacing=ks.get("spacing", 1.5), p=ks.get("p", 6),
+        skin=ts.params.skin,
     )
 
 
 def cmd_run(args):
     import jax
+    import jax.numpy as jnp
     import numpy as np
 
     cfg = _load_config(args.config)
@@ -160,12 +162,14 @@ def cmd_run(args):
 
         # elastic production run (tiled/elastic.py): jitted chunks, grow
         # capacity on the early overflow flag, count dangerous builds
-        import jax.numpy as jnp
-
         from constant_ph_tpu.tiled.elastic import elastic_run
 
         traj = run_cfg.get("trajectory")
         every = int(run_cfg.get("traj_every", max(observe_every, 100)))
+        if traj and every % ecfg.rebuild_every:
+            every = -(-every // ecfg.rebuild_every) * ecfg.rebuild_every
+            print(f"# traj_every rounded up to {every} (must be a multiple "
+                  f"of rebuild_every={ecfg.rebuild_every})", file=sys.stderr)
         chunk = every if traj else min(n_steps, 2000)
         dw = None
         if traj:

@@ -76,14 +76,21 @@ def _bspline_np(u, p: int):
 
 
 def make_pme_params(box, cell_grid, alpha: float, *, spacing: float = 0.9,
-                    p: int = 6, slack: float = 1.7,
+                    p: int = 6, slack: float | None = None,
+                    skin: float = 2.0, mol_radius: float = 1.0,
                     dtype=jnp.float32) -> PMEParams:
     """Host-side PME setup.
 
     `cell_grid` is the tile grid (TileParams.grid); the mesh per dim is the
     smallest even m with g·m ≥ L/spacing. `slack` bounds how far an atom can
-    sit outside its bin cell (molecule radius + skin drift) and sizes the
-    halo h = p/2 + ceil(slack/spacing)."""
+    sit outside its bin cell and sizes the halo h = p/2 + ceil(slack/spacing).
+    By default it is derived from the same worst case the tile layout
+    accepts: centroid rebinning parks an atom up to `mol_radius` outside its
+    cell and the dangerous-build monitor tolerates up to `skin` of drift per
+    block — pass the TileParams values so the B-spline support is never
+    clipped for any accepted excursion."""
+    if slack is None:
+        slack = mol_radius + skin
     box = np.asarray(box, dtype=np.float64)
     V = float(np.prod(box))
     g = tuple(int(x) for x in cell_grid)

@@ -53,6 +53,10 @@ def elastic_run(
     cpu = jax.local_devices(backend="cpu")[0]
     if device is None:
         device = jax.devices()[0]
+    # make_run(chunk) actually executes ceil(chunk/rebuild_every) full
+    # rebuild blocks — round the chunk up so `done` counts real steps and
+    # obs arrays / on_chunk cadence agree with the step accounting
+    chunk = -(-chunk // cfg.rebuild_every) * cfg.rebuild_every
 
     def make_eng(ts_):
         kw = {}

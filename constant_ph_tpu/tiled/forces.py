@@ -206,10 +206,11 @@ def water_solute_fast(wxg, sx, qs, st: SoluteTables, wm: WaterModel,
     phi_s (Ns,)) — drops the per-atom eatom/φ_w tallies the MD step never
     uses (only φ on solute atoms feeds dU/dλ) and uses the same Chebyshev
     screening fits as :func:`water_water_fast`. Solute-pad masks fold into
-    the static per-solute LJ coefficients and into q·smask; the water
-    validity mask IS needed per-row (unlike water_water_fast) because the
-    per-pair min-image — required since the solute is not tiled — wraps
-    parked far-away slots back into the box. Validated against
+    the static per-solute LJ coefficients and into q·smask; no water
+    validity mask is needed: images are resolved per CELL (nearest solute
+    image to the cell center, see the comment below), so parked slots —
+    sitting at the far park position relative to their own cell's center —
+    stay beyond the cutoff and contribute exactly zero. Validated against
     water_solute in tests/test_tiled.py."""
     import math as _math
 

@@ -354,15 +354,24 @@ class Engine:
         Structure: outer scan over blocks (neighbor rebuild between blocks),
         inner scan over `rebuild_every` steps (SURVEY.md §2.3.6 — the
         lax.scan timestep clock). n_steps is rounded up to a whole number
-        of blocks.
+        of blocks. At each block boundary the skin-displacement trigger
+        (neighbors.needs_rebuild — the LAMMPS `neigh_modify check yes`
+        analog) decides whether to rebuild; shapes are static, so the
+        lax.cond skips the binning work when no atom moved past skin/2.
         """
+        from constant_ph_tpu.neighbors import needs_rebuild
+
         block = self.cfg.rebuild_every
         n_blocks = -(-n_steps // block)
 
         def run(state: SystemState, nbr: NeighborList):
             def outer(carry, _):
                 state, nbr = carry
-                nbr = self.build_neighbors(state.x, state.box)
+                nbr = jax.lax.cond(
+                    needs_rebuild(nbr, state.x, state.box, self.nbr_params),
+                    lambda: self.build_neighbors(state.x, state.box),
+                    lambda: nbr,
+                )
                 frc = self.compute_forces(
                     state.x, state.lam, state.box, state.pH, nbr
                 )

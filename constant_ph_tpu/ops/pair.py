@@ -17,9 +17,11 @@ fix_constant_pH.cpp:216-219). Design (SURVEY.md §2.3.3):
   part with excluded-pair reciprocal-space compensation built in (the
   standard pair_lj_cut_coul_long treatment).
 
-The jnp implementation here is the semantic reference; ops/pair_pallas.py
-provides the tiled Pallas kernel validated against it (SURVEY.md §5.2's
-"sanitizer" policy).
+The jnp implementation here is the semantic reference for the canonical
+(N, K)-neighbor-list engine; the production hot path is the gather-free
+cell-tile stencil in tiled/forces.py, with a Pallas water-water kernel
+(tiled/pallas_ww.py) validated against it in interpret mode (SURVEY.md
+§5.2's "sanitizer" policy).
 """
 from __future__ import annotations
 

@@ -195,7 +195,13 @@ def write_lammps_data(path: str, system: System, *, pair_eps=None,
                       pair_sig=None) -> None:
     """Export a System to LAMMPS data format (atom_style full).
 
-    Per-instance bonded parameters are compressed into types. Pair ε/σ per
+    The deck is complete enough to round-trip through
+    :func:`system_from_lammps_data`: per-instance bonded parameters are
+    compressed into types, rigid-water constraint triples are exported as
+    SHAKE-style O-H bonds + an H-O-H angle (the LAMMPS convention for
+    SPC/E; the reader reconstructs the RigidTriatomic set from the bond
+    topology + ``rigid_water_types``), impropers get their own sections,
+    and molecule ids distinguish each water from the solute. Pair ε/σ per
     type must be supplied if they cannot be inferred (builders keep only
     mixed tables); defaults pull the diagonal of the mixed tables.
     """
@@ -223,6 +229,28 @@ def write_lammps_data(path: str, system: System, *, pair_eps=None,
     for i in range(n):
         mass_by_type[types[i]] = np.asarray(ff.mass)[i]
 
+    # molecule ids: solute = mol 1; each rigid-water triple its own mol
+    mol = np.ones(n, dtype=int)
+    b_rows = ([tuple(r) + (float(k), float(r0)) for r, k, r0 in
+               zip(np.asarray(bp.bond_idx), np.asarray(bp.bond_k),
+                   np.asarray(bp.bond_r0))] if bp is not None else [])
+    a_rows = ([tuple(r) + (float(k), float(np.rad2deg(t0))) for r, k, t0 in
+               zip(np.asarray(bp.angle_idx), np.asarray(bp.angle_k),
+                   np.asarray(bp.angle_t0))] if bp is not None else [])
+    cons = system.constraints
+    if cons is not None and getattr(cons, "triplets", None) is not None:
+        trips = np.asarray(cons.triplets)
+        d_oh = float(np.sqrt(cons.d2[0]))
+        d_hh = float(np.sqrt(cons.d2[2]))
+        th = float(np.rad2deg(2.0 * np.arcsin(0.5 * d_hh / d_oh)))
+        for m, (o, h1, h2) in enumerate(trips):
+            mol[[o, h1, h2]] = m + 2
+            # nominal SPC/E-stiff coeffs: the reader rebuilds the rigid
+            # constraint from topology, not from these spring constants
+            b_rows.append((int(o), int(h1), 450.0, d_oh))
+            b_rows.append((int(o), int(h2), 450.0, d_oh))
+            a_rows.append((int(h1), int(o), int(h2), 55.0, th))
+
     def compress(params):
         seen: dict = {}
         out = []
@@ -234,28 +262,33 @@ def write_lammps_data(path: str, system: System, *, pair_eps=None,
         return np.array(out, dtype=int), [list(k) for k in seen]
 
     lines = ["generated by constant_ph_tpu", ""]
-    nb = int(bp.bond_idx.shape[0]) if bp is not None else 0
-    na = int(bp.angle_idx.shape[0]) if bp is not None else 0
+    nb = len(b_rows)
+    na = len(a_rows)
     nd = int(bp.dihedral_idx.shape[0]) if bp is not None else 0
+    ni = int(bp.improper_idx.shape[0]) if bp is not None else 0
     lines.append(f"{n} atoms")
     lines.append(f"{nb} bonds")
     lines.append(f"{na} angles")
     lines.append(f"{nd} dihedrals")
+    lines.append(f"{ni} impropers")
     lines.append(f"{ntypes} atom types")
 
     if nb:
-        b_t, b_coeffs = compress(
-            np.stack([np.asarray(bp.bond_k), np.asarray(bp.bond_r0)], -1))
+        b_t, b_coeffs = compress([r[2:] for r in b_rows])
         lines.append(f"{len(b_coeffs)} bond types")
     if na:
-        a_t, a_coeffs = compress(np.stack(
-            [np.asarray(bp.angle_k), np.rad2deg(np.asarray(bp.angle_t0))], -1))
+        a_t, a_coeffs = compress([r[3:] for r in a_rows])
         lines.append(f"{len(a_coeffs)} angle types")
     if nd:
         d_t, d_coeffs = compress(np.stack(
             [np.asarray(bp.dihedral_k), np.asarray(bp.dihedral_n),
              np.rad2deg(np.asarray(bp.dihedral_d))], -1))
         lines.append(f"{len(d_coeffs)} dihedral types")
+    if ni:
+        i_t, i_coeffs = compress(np.stack(
+            [np.asarray(bp.improper_k),
+             np.rad2deg(np.asarray(bp.improper_x0))], -1))
+        lines.append(f"{len(i_coeffs)} improper types")
     lines += ["", f"0.0 {box[0]} xlo xhi", f"0.0 {box[1]} ylo yhi",
               f"0.0 {box[2]} zlo zhi", "", "Masses", ""]
     for t in range(ntypes):
@@ -275,32 +308,89 @@ def write_lammps_data(path: str, system: System, *, pair_eps=None,
         lines += ["", "Dihedral Coeffs", ""]
         for t, (k, mult, d) in enumerate(d_coeffs):
             lines.append(f"{t + 1} {k} {int(mult)} {int(round(d))}")
+    if ni:
+        lines += ["", "Improper Coeffs", ""]
+        for t, (k, x0) in enumerate(i_coeffs):
+            lines.append(f"{t + 1} {k} {x0}")
     lines += ["", "Atoms # full", ""]
     for i in range(n):
-        lines.append(f"{i + 1} 1 {types[i] + 1} {q[i]:.6f} "
+        lines.append(f"{i + 1} {mol[i]} {types[i] + 1} {q[i]:.6f} "
                      f"{x[i, 0]:.8f} {x[i, 1]:.8f} {x[i, 2]:.8f}")
     lines += ["", "Velocities", ""]
     for i in range(n):
         lines.append(f"{i + 1} {v[i, 0]:.8e} {v[i, 1]:.8e} {v[i, 2]:.8e}")
     if nb:
         lines += ["", "Bonds", ""]
-        bi = np.asarray(bp.bond_idx)
-        for b in range(nb):
-            lines.append(f"{b + 1} {b_t[b] + 1} {bi[b, 0] + 1} {bi[b, 1] + 1}")
+        for b, r in enumerate(b_rows):
+            lines.append(f"{b + 1} {b_t[b] + 1} {r[0] + 1} {r[1] + 1}")
     if na:
         lines += ["", "Angles", ""]
-        ai = np.asarray(bp.angle_idx)
-        for a in range(na):
-            lines.append(f"{a + 1} {a_t[a] + 1} {ai[a, 0] + 1} "
-                         f"{ai[a, 1] + 1} {ai[a, 2] + 1}")
+        for a, r in enumerate(a_rows):
+            lines.append(f"{a + 1} {a_t[a] + 1} {r[0] + 1} "
+                         f"{r[1] + 1} {r[2] + 1}")
     if nd:
         lines += ["", "Dihedrals", ""]
         di = np.asarray(bp.dihedral_idx)
         for d in range(nd):
             lines.append(f"{d + 1} {d_t[d] + 1} {di[d, 0] + 1} "
                          f"{di[d, 1] + 1} {di[d, 2] + 1} {di[d, 3] + 1}")
+    if ni:
+        lines += ["", "Impropers", ""]
+        ii = np.asarray(bp.improper_idx)
+        for d in range(ni):
+            lines.append(f"{d + 1} {i_t[d] + 1} {ii[d, 0] + 1} "
+                         f"{ii[d, 1] + 1} {ii[d, 2] + 1} {ii[d, 3] + 1}")
     with open(path, "w") as fh:
         fh.write("\n".join(lines) + "\n")
+
+
+def write_sites_json(path: str, system: System) -> None:
+    """Export the titration metadata (the analog of the reference's fix
+    command line: groups, pK, charge end states — fix_constant_pH.cpp:36-54)
+    as a JSON sidecar next to the data file; LAMMPS decks carry no λ-site
+    information. Sites are written in the ``dq`` form (q_deprot − q_prot
+    per listed atom, buffer compensation already folded in — exactly the
+    LambdaSpec row), which :func:`system_from_lammps_data` accepts
+    alongside the q_prot/q_deprot form."""
+    import json
+
+    spec = system.spec
+    if spec is None:
+        raise ValueError("system has no titratable sites")
+    gh = (np.asarray(system.groupH_mask)
+          if system.groupH_mask is not None else None)
+    sites = []
+    atom_idx = np.asarray(spec.atom_idx)
+    dq = np.asarray(spec.dq)
+    mask = np.asarray(spec.atom_mask) > 0.5
+    pk = np.asarray(spec.pK).reshape(-1)
+    dg = np.asarray(spec.dG_ref).reshape(-1)
+    m_lam = np.asarray(spec.m_lambda).reshape(-1)
+    for s in range(pk.shape[0]):
+        m = mask[s]
+        d = {
+            "atoms": atom_idx[s][m].tolist(),
+            "dq": dq[s][m].astype(float).tolist(),
+            "pK": float(pk[s]),
+            "dG_ref": float(dg[s]),
+            "m_lambda": float(m_lam[s]),
+        }
+        if gh is not None:
+            hyd = [int(a) for a in atom_idx[s][m] if gh[a]]
+            if len(hyd) == 1:
+                d["hydrogen"] = hyd[0]
+        sites.append(d)
+    with open(path, "w") as fh:
+        json.dump({"sites": sites}, fh, indent=1)
+
+
+def sites_from_json(path: str) -> list:
+    """Load the titratable-site dicts written by :func:`write_sites_json`
+    (pass as ``titratable_sites=`` to :func:`system_from_lammps_data`)."""
+    import json
+
+    with open(path) as fh:
+        return json.load(fh)["sites"]
 
 
 def system_from_lammps_data(
@@ -410,6 +500,24 @@ def system_from_lammps_data(
             constraints = RigidTriatomic(
                 np.asarray(trips), raw["mass_by_type"][raw["type"]],
                 d_oh, d_hh)
+            # rigid-water topology rides in the deck as SHAKE-style bonds
+            # and an H-O-H angle (the LAMMPS `fix shake` convention): mask
+            # their spring terms out of the bonded forces — the constraint
+            # solver owns that geometry (double treatment would add
+            # spurious stiff forces on top of SHAKE)
+            rigid = np.zeros(n, dtype=bool)
+            rigid[np.asarray(trips).reshape(-1)] = True
+            if nb:
+                bi = raw["bonds"][:, 1:3]
+                bm = ~(rigid[bi[:, 0]] & rigid[bi[:, 1]])
+                bonded = bonded.replace(
+                    bond_mask=jnp.asarray(bm.astype(np.float64), dtype=dtype))
+            if na:
+                ai = raw["angles"][:, 1:4]
+                am = ~(rigid[ai[:, 0]] & rigid[ai[:, 1]] & rigid[ai[:, 2]])
+                bonded = bonded.replace(
+                    angle_mask=jnp.asarray(am.astype(np.float64),
+                                           dtype=dtype))
 
     spec = None
     groupH_mask = None
@@ -417,10 +525,19 @@ def system_from_lammps_data(
         specs = []
         gh = np.zeros(n, dtype=bool)
         for s in titratable_sites:
+            if "dq" in s:
+                # dq form (write_sites_json): q_deprot−q_prot per atom,
+                # buffer compensation folded in — dq == (q_deprot=dq) − 0
+                q_prot = np.zeros(len(s["atoms"]))
+                q_deprot = np.asarray(s["dq"], dtype=np.float64)
+                buffer_idx = None
+            else:
+                q_prot, q_deprot = s["q_prot"], s["q_deprot"]
+                buffer_idx = s.get("buffer")
             specs.append(make_single_site(
-                atom_idx=s["atoms"], q_prot=s["q_prot"],
-                q_deprot=s["q_deprot"], pK=s["pK"],
-                buffer_idx=s.get("buffer"),
+                atom_idx=s["atoms"], q_prot=q_prot,
+                q_deprot=q_deprot, pK=s["pK"],
+                buffer_idx=buffer_idx,
                 dG_ref=s.get("dG_ref", 0.0),
                 m_lambda=s.get("m_lambda", 20.0), dtype=dtype))
             if "hydrogen" in s:

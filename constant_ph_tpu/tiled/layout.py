@@ -272,13 +272,33 @@ def split_system(system, *, skin=2.0, tile_safety=1.6) -> TiledSystem:
         spec = spec.replace(atom_idx=jnp.asarray(new_idx.astype(np.int32)))
     bonded = system.bonded
     if bonded is not None and int(bonded.bond_idx.shape[0]):
+        # drop mask-0 rows first: data-file decks carry rigid-water springs
+        # (masked off — SHAKE owns them, systems/lammps_data.py), whose
+        # atoms are by construction NOT in the solute set
+        def live(idx, mask, *vals):
+            keep = np.asarray(mask) > 0.5
+            return (np.asarray(idx)[keep],
+                    *[jnp.asarray(np.asarray(v)[keep]) for v in
+                      (mask,) + vals])
+
         def remap(idx):
             m = sol_local[np.asarray(idx)]
-            assert (m >= 0).all(), "bonded atom not in solute set (flexible water unsupported in tiled path)"
+            assert (m >= 0).all(), ("bonded atom not in solute set "
+                                    "(flexible water unsupported in tiled "
+                                    "path)")
             return jnp.asarray(m.astype(np.int32))
+
+        b_idx, b_mask, b_k, b_r0 = live(
+            bonded.bond_idx, bonded.bond_mask, bonded.bond_k, bonded.bond_r0)
+        a_idx, a_mask, a_k, a_t0 = live(
+            bonded.angle_idx, bonded.angle_mask, bonded.angle_k,
+            bonded.angle_t0)
         bonded = bonded.replace(
-            bond_idx=remap(bonded.bond_idx),
-            angle_idx=remap(bonded.angle_idx) if bonded.angle_idx.shape[0] else bonded.angle_idx,
+            bond_idx=remap(b_idx), bond_mask=b_mask, bond_k=b_k,
+            bond_r0=b_r0,
+            angle_idx=(remap(a_idx) if a_idx.shape[0]
+                       else jnp.zeros((0, 3), jnp.int32)),
+            angle_mask=a_mask, angle_k=a_k, angle_t0=a_t0,
             dihedral_idx=remap(bonded.dihedral_idx) if bonded.dihedral_idx.shape[0] else bonded.dihedral_idx,
             improper_idx=remap(bonded.improper_idx) if bonded.improper_idx.shape[0] else bonded.improper_idx,
         )

@@ -1,0 +1,121 @@
+"""End-to-end LAMMPS-deck round trip (VERDICT r1 missing #3 / next #5).
+
+The reference fix lives inside a data-file-driven host
+(fix_constant_pH.cpp:15-25): real systems enter through `read_data`. This
+test proves the full loop — build a multi-site solvated polypeptide,
+export it as a LAMMPS data deck (+ titration sidecar, the analog of the
+fix command line), read it back through systems.lammps_data, and check
+the reconstructed System reproduces the original's forces/energies and
+runs on the tiled production engine.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from constant_ph_tpu.engine import EngineConfig
+from constant_ph_tpu.systems.lammps_data import (
+    sites_from_json,
+    system_from_lammps_data,
+    write_lammps_data,
+    write_sites_json,
+)
+from constant_ph_tpu.systems.protein import solvated_polypeptide
+
+
+@pytest.fixture(scope="module")
+def roundtrip(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("deck")
+    sys1 = solvated_polypeptide(
+        n_residues=6, sites_every=2, box_len=24.0, water_spacing=3.4,
+        cutoff=6.0, skin=1.5, coul_style="dsf", alpha=0.2, pH=5.0, seed=3)
+    deck = str(tmp / "poly.data")
+    sidecar = str(tmp / "poly.sites.json")
+    write_lammps_data(deck, sys1)
+    write_sites_json(sidecar, sys1)
+    # water types are 6 (O) and 7 (H), 1-based, per the builder's type table
+    sys2 = system_from_lammps_data(
+        deck, cutoff=6.0, skin=1.5, coul_style="dsf", alpha=0.2,
+        rigid_water_types=(6, 7), titratable_sites=sites_from_json(sidecar),
+        pH=5.0)
+    # align dynamic state (the deck carries x/v; λ comes from the run setup)
+    sys2.state = sys2.state.replace(lam=sys1.state.lam)
+    return sys1, sys2
+
+
+def test_sites_roundtrip(roundtrip):
+    sys1, sys2 = roundtrip
+    np.testing.assert_allclose(np.asarray(sys2.spec.pK),
+                               np.asarray(sys1.spec.pK))
+    # dq tables agree per (site, atom) — padding layouts may differ
+    for s in range(int(sys1.spec.pK.shape[0])):
+        d1 = {int(a): float(d) for a, d, m in zip(
+            np.asarray(sys1.spec.atom_idx[s]), np.asarray(sys1.spec.dq[s]),
+            np.asarray(sys1.spec.atom_mask[s])) if m > 0.5}
+        d2 = {int(a): float(d) for a, d, m in zip(
+            np.asarray(sys2.spec.atom_idx[s]), np.asarray(sys2.spec.dq[s]),
+            np.asarray(sys2.spec.atom_mask[s])) if m > 0.5}
+        assert set(d1) == set(d2)
+        for a in d1:
+            assert abs(d1[a] - d2[a]) < 1e-6
+    assert bool(jnp.all(sys1.groupH_mask == sys2.groupH_mask))
+
+
+def test_state_and_topology_roundtrip(roundtrip):
+    sys1, sys2 = roundtrip
+    np.testing.assert_allclose(np.asarray(sys2.state.x),
+                               np.asarray(sys1.state.x), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sys2.state.v),
+                               np.asarray(sys1.state.v), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(sys2.ff.q0),
+                               np.asarray(sys1.ff.q0), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sys2.ff.mass),
+                               np.asarray(sys1.ff.mass), rtol=1e-6)
+    assert sys2.constraints is not None
+    assert (sys2.constraints.triplets.shape
+            == sys1.constraints.triplets.shape)
+
+
+def test_forces_parity(roundtrip):
+    """The reconstructed System's composed forces match the original's —
+    pair + bonded + λ-coupled electrostatics through the canonical engine
+    (rigid-water springs masked; SHAKE owns that geometry)."""
+    sys1, sys2 = roundtrip
+    cfg = EngineConfig(dt=1.0, thermostat="nve", lambda_thermostat="none",
+                       rebuild_every=10)
+    e1 = sys1.make_engine(cfg)
+    e2 = sys2.make_engine(cfg)
+    nbr1 = e1.build_neighbors(sys1.state.x, sys1.state.box)
+    nbr2 = e2.build_neighbors(sys2.state.x, sys2.state.box)
+    f1 = jax.jit(e1.compute_forces)(
+        sys1.state.x, sys1.state.lam, sys1.state.box, sys1.state.pH, nbr1)
+    f2 = jax.jit(e2.compute_forces)(
+        sys2.state.x, sys2.state.lam, sys2.state.box, sys2.state.pH, nbr2)
+    np.testing.assert_allclose(float(f2.e_lj), float(f1.e_lj), rtol=1e-5)
+    np.testing.assert_allclose(float(f2.e_coul), float(f1.e_coul), rtol=1e-5)
+    np.testing.assert_allclose(float(f2.e_bonded), float(f1.e_bonded),
+                               rtol=1e-5)
+    fa = np.asarray(f1.f)
+    fb = np.asarray(f2.f)
+    scale = max(1.0, np.abs(fa).max())
+    np.testing.assert_allclose(fb / scale, fa / scale, atol=1e-5)
+
+
+def test_deck_runs_on_tiled_engine(roundtrip):
+    """read_data → split_system → TiledEngine: the production path the
+    reference's ecosystem assumes, end to end."""
+    from constant_ph_tpu.tiled.engine import TiledEngine
+    from constant_ph_tpu.tiled.layout import split_system, to_tiled
+
+    _, sys2 = roundtrip
+    ts = split_system(sys2)
+    tst = to_tiled(ts, sys2.state)
+    eng = TiledEngine(ts, EngineConfig(
+        dt=0.5, thermostat="langevin", T=300.0, gamma=0.01,
+        lambda_thermostat="langevin", rebuild_every=5, force_cap=50.0))
+    tst, _ = jax.jit(eng.make_minimize(50))(tst)
+    tst, ov, obs = jax.jit(eng.make_run(20))(tst)
+    assert not bool(ov)
+    assert bool(jnp.all(jnp.isfinite(obs.e_pot)))
+    assert bool(jnp.all(jnp.isfinite(obs.h_conserved)))

@@ -82,9 +82,17 @@ def stack_replicas(states: list) -> SystemState:
     return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
 
 
-def make_rex_runner_tiled(engine, md_steps_per_swap: int):
+def make_rex_runner_tiled(engine, md_steps_per_swap: int,
+                          with_stats: bool = False):
     """Replica-exchange block on the tiled engine:
-    (tiled_states_batched, key, parity) -> (states, key, accept, obs_last).
+    (tiled_states_batched, key, parity) -> (states, key, accept, obs_last)
+    — or, with ``with_stats=True``,
+    (states, key, accept, overflow (R,), stats) where stats is
+    {"obs_last": Observables[R], "frac_deprot": (R, S) in-block mean of
+    (λ>0.5)} so long drivers can (a) monitor the per-replica capacity /
+    dangerous-build flag (vmap precludes in-loop retiling, so callers must
+    provision W margin and watch it) and (b) accumulate titration
+    statistics from EVERY step of the block rather than the last one.
 
     Shard the leading replica axis over a mesh for one-replica-per-chip
     execution (BASELINE config 5 over ICI).
@@ -96,6 +104,10 @@ def make_rex_runner_tiled(engine, md_steps_per_swap: int):
         key, k_swap = jax.random.split(key)
         states, accepted = swap_phs(states, k_swap, engine.bias, parity)
         last_obs = jax.tree.map(lambda a: a[:, -1], obs)
+        if with_stats:
+            frac = jnp.mean((obs.lam > 0.5).astype(jnp.float32), axis=1)
+            stats = {"obs_last": last_obs, "frac_deprot": frac}
+            return states, key, accepted, overflow, stats
         return states, key, accepted, last_obs
 
     return block

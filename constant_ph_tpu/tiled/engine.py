@@ -45,6 +45,12 @@ class TiledForces:
     eatom_s: jax.Array  # (Ns,)
     phi_s: jax.Array
     dUdlam: jax.Array
+    # reciprocal-space φ on solute atoms from the most recent k-space
+    # evaluation — carried through the (state, forces) scan carry so λ
+    # forces between MTS boundaries use the (slowly varying) stale value
+    # rather than dropping the term (the mollified slow-force treatment;
+    # exact when kspace_every == 1). Zeros when there is no k-space term.
+    phi_recip_s: jax.Array
 
     @property
     def e_pot(self):
@@ -65,7 +71,11 @@ class TiledEngine:
         self.cfg = config
         self.bias = bias
         self.kspace_ep = kspace_ep
-        self.use_pallas_ww = use_pallas_ww and min(tsys.params.grid) >= 3
+        # use_pallas_ww: False = XLA hot path; True = the full-tally Pallas
+        # oracle kernel; "fast" = the like-for-like Pallas hot-path kernel
+        # (tiled/pallas_ww.water_water_pallas_fast)
+        self.use_pallas_ww = (use_pallas_ww
+                              if min(tsys.params.grid) >= 3 else False)
         self.shake = TiledWaterShake(tsys.water, tsys.params)
         p = tsys.params
         self.grid = p.grid
@@ -87,6 +97,8 @@ class TiledEngine:
         if kspace_ep is not None:
             self.e_corr = tforces.water_intra_ewald_correction(
                 wm, self.n_waters, kspace_ep.alpha)
+        if config.kspace_every < 1:
+            raise ValueError("kspace_every must be >= 1")
 
     # -- forces ---------------------------------------------------------------
 
@@ -97,13 +109,30 @@ class TiledEngine:
         return lambda_dyn.charges(ts.solute.q0, ts.spec, lam)
 
     def compute_forces(self, st: TiledState,
-                       need_tally: bool = False) -> TiledForces:
+                       need_tally: bool = False,
+                       kspace_impulse: bool = False,
+                       phi_recip_prev=None) -> TiledForces:
         """Forces + energies (+ per-atom water tallies when `need_tally`).
 
         The hot path skips the water eatom/φ per-atom tallies — only φ on
         SOLUTE atoms feeds dU/dλ (λ sites and buffer waters live in the
         solute set, layout.split_system), and water eatom is purely the
-        compute_Hs diagnostic (fix_constant_pH.cpp:177-280 parity mode)."""
+        compute_Hs diagnostic (fix_constant_pH.cpp:177-280 parity mode).
+
+        `kspace_impulse` (set by the MD step / run loop, NOT by
+        minimization or diagnostics): with cfg.kspace_every = k > 1, the
+        reciprocal-space term is evaluated only when st.step % k == 0
+        (under lax.cond — the skipped branch costs nothing at runtime) and
+        its forces enter amplified ×k, so the two half-kicks around a
+        boundary evaluation deliver the standard Verlet-I/r-RESPA impulse
+        (LAMMPS `run_style respa` with kspace on the outer level). The
+        caller passes the previous step's `phi_recip_prev` so λ forces
+        between boundaries keep the slowly-varying reciprocal φ (the
+        mollified slow-force treatment) instead of dropping the term — λ
+        then integrates at the full rate at any kspace_every. φ and
+        energies are NOT amplified; off-boundary rows report e_kspace = 0,
+        so MTS conserved-quantity checks must sample h_conserved on
+        boundary rows only."""
         ts = self.ts
         p = ts.params
         gx, gy, gz = p.grid
@@ -115,11 +144,18 @@ class TiledEngine:
         wvg = st.wvalid.reshape(gx, gy, gz, W)
 
         fast_ok = min(p.grid) >= 3 and not need_tally
-        if fast_ok and not self.use_pallas_ww:
+        if fast_ok and self.use_pallas_ww == "fast":
+            from constant_ph_tpu.tiled.pallas_ww import (
+                water_water_pallas_fast)
+
+            e_lj_ww, e_c_ww, f_ww = water_water_pallas_fast(
+                wxg, ts.water, p, box, style=style, alpha=alpha, rc=rc)
+            eatom_ww = jnp.zeros((gx, gy, gz, 3 * W), st.wx.dtype)
+        elif fast_ok and not self.use_pallas_ww:
             e_lj_ww, e_c_ww, f_ww = tforces.water_water_fast(
                 wxg, ts.water, p, box, style=style, alpha=alpha, rc=rc)
             eatom_ww = jnp.zeros((gx, gy, gz, 3 * W), st.wx.dtype)
-        elif self.use_pallas_ww:
+        elif self.use_pallas_ww is True:
             from constant_ph_tpu.tiled.pallas_ww import water_water_pallas
 
             e_lj_ww, e_c_ww, f_ww, eatom_ww, phi_ww = water_water_pallas(
@@ -161,23 +197,47 @@ class TiledEngine:
             eatom_s = eatom_s + eatom_b
 
         e_kspace = jnp.zeros((), st.sx.dtype)
+        phi_recip = jnp.zeros_like(qs)
+        k_ev = self.cfg.kspace_every if kspace_impulse else 1
+        if k_ev > 1 and need_tally:
+            raise ValueError("per-atom tallies require a full kspace "
+                             "evaluation (call without kspace_impulse)")
+        if phi_recip_prev is None:
+            phi_recip_prev = jnp.zeros_like(qs)
         if isinstance(self.kspace_ep, PMEParams):
             # FFT-based smooth PME on the cell tiles (ops/pme.py) — the
             # "PPPM as batched XLA FFTs" path; scatter-free spreading
             vm_atoms = jnp.repeat(st.wvalid, 3, axis=-1)       # (G, 3W)
             wqg = (self.wq_pat[None, :] * vm_atoms).reshape(
                 gx, gy, gz, 3 * W)
-            ek, fwk, fsk, phi_sk, phi_wk = pme_recip_tiled(
-                wxg, wqg, st.sx, qs * ts.solute.smask, self.kspace_ep,
-                need_water_phi=need_tally)
-            fw = fw + fwk.reshape(3, self.G, 3 * W)
-            fs = fs + fsk
-            phi_s = phi_s + phi_sk
+
+            def _pme(_):
+                ek, fwk, fsk, phi_sk, phi_wk = pme_recip_tiled(
+                    wxg, wqg, st.sx, qs * ts.solute.smask, self.kspace_ep,
+                    need_water_phi=need_tally)
+                if phi_wk is None:
+                    phi_wk = jnp.zeros_like(wqg)
+                return (ek + self.e_corr, fwk.reshape(3, self.G, 3 * W),
+                        fsk, phi_sk, phi_wk)
+
+            if k_ev > 1:
+                skipped = (jnp.zeros((), st.sx.dtype),
+                           jnp.zeros((3, self.G, 3 * W), st.sx.dtype),
+                           jnp.zeros_like(st.sx),
+                           phi_recip_prev,
+                           jnp.zeros_like(wqg))
+                ek, fwk, fsk, phi_sk, phi_wk = jax.lax.cond(
+                    (st.step % k_ev) == 0, _pme, lambda _: skipped, None)
+            else:
+                ek, fwk, fsk, phi_sk, phi_wk = _pme(None)
+            fw = fw + float(k_ev) * fwk
+            fs = fs + float(k_ev) * fsk
+            phi_recip = phi_sk
             if need_tally:
                 eatom_w = eatom_w + (0.5 * wqg * phi_wk).reshape(
                     self.G, 3 * W)
                 eatom_s = eatom_s + 0.5 * qs * ts.solute.smask * phi_sk
-            e_kspace = ek + self.e_corr
+            e_kspace = ek
         elif self.kspace_ep is not None:
             vm_atoms = jnp.repeat(st.wvalid, 3, axis=-1)       # (G, 3W)
             qw = (self.wq_pat[None, :] * vm_atoms).reshape(-1)
@@ -186,18 +246,38 @@ class TiledEngine:
                 jnp.concatenate([st.wx[d].reshape(-1), st.sx[:, d]])
                 for d in range(3)
             )
-            ek, fk, phik, eatomk = ewald_recip_xd(xd, q_all, self.kspace_ep)
             nw_flat = self.G * 3 * W
-            fw = fw + jnp.stack(
-                [(fk[d][:nw_flat]).reshape(self.G, 3 * W) for d in range(3)]
-            ) * vm_atoms[None].reshape(1, self.G, 3 * W)
-            fs = fs + jnp.stack(
-                [fk[d][nw_flat:] for d in range(3)], axis=-1)
-            phi_s = phi_s + phik[nw_flat:]
+
+            def _ewald(_):
+                ek, fk, phik, eatomk = ewald_recip_xd(
+                    xd, q_all, self.kspace_ep)
+                fwk = jnp.stack(
+                    [(fk[d][:nw_flat]).reshape(self.G, 3 * W)
+                     for d in range(3)]
+                ) * vm_atoms[None].reshape(1, self.G, 3 * W)
+                fsk = jnp.stack([fk[d][nw_flat:] for d in range(3)],
+                                axis=-1)
+                return (ek + self.e_corr, fwk, fsk, phik[nw_flat:],
+                        eatomk)
+
+            if k_ev > 1:
+                skipped = (jnp.zeros((), st.sx.dtype),
+                           jnp.zeros((3, self.G, 3 * W), st.sx.dtype),
+                           jnp.zeros_like(st.sx),
+                           phi_recip_prev,
+                           jnp.zeros_like(q_all))
+                ek, fwk, fsk, phi_sk, eatomk = jax.lax.cond(
+                    (st.step % k_ev) == 0, _ewald, lambda _: skipped, None)
+            else:
+                ek, fwk, fsk, phi_sk, eatomk = _ewald(None)
+            fw = fw + float(k_ev) * fwk
+            fs = fs + float(k_ev) * fsk
+            phi_recip = phi_sk
             eatom_w = eatom_w + eatomk[:nw_flat].reshape(self.G, 3 * W)
             eatom_s = eatom_s + eatomk[nw_flat:]
-            e_kspace = ek + self.e_corr
+            e_kspace = ek
 
+        phi_s = phi_s + phi_recip
         if ts.spec is not None:
             dUdlam = lambda_dyn.dq_dlambda_dot(ts.spec, phi_s)
             f_lam, u_site = lambda_dyn.lambda_force(
@@ -214,6 +294,7 @@ class TiledEngine:
             e_coul=e_c_ww + e_c_ws + e_c_ss,
             e_bonded=e_bonded, e_kspace=e_kspace, e_site=e_site,
             eatom_w=eatom_w, eatom_s=eatom_s, phi_s=phi_s, dUdlam=dUdlam,
+            phi_recip_s=phi_recip,
         )
 
     # -- diagnostics ------------------------------------------------------------
@@ -381,8 +462,15 @@ class TiledEngine:
         if ts.solute_constraints is not None:
             sx, sv = ts.solute_constraints.positions(st.sx, sx, sv, st.box, dt)
 
-        st_new = st.replace(wx=wx, sx=sx, lam=lam)
-        frc_new = self.compute_forces(st_new)
+        # step increments BEFORE the force eval: compute_forces sees the
+        # post-drift counter, so its MTS boundary predicate (step % k == 0)
+        # agrees between this eval (positions x_{c+1}, counter c+1) and the
+        # block-start recompute in make_run (positions x_c, counter c after
+        # rebin) — otherwise every rebuild injects a spurious extra k-space
+        # half-impulse and the conserved quantity drifts ~1000x worse
+        st_new = st.replace(wx=wx, sx=sx, lam=lam, step=st.step + 1)
+        frc_new = self.compute_forces(st_new, kspace_impulse=True,
+                                      phi_recip_prev=frc.phi_recip_s)
         frc_capped = self._cap_forces(frc_new)
 
         # B
@@ -411,7 +499,7 @@ class TiledEngine:
             sv = ts.solute_constraints.velocities(sx, sv, st.box)
 
         return st_new.replace(
-            wv=wv, sv=sv, v_lam=v_lam, step=st.step + 1, key=key,
+            wv=wv, sv=sv, v_lam=v_lam, key=key,
             nhc_xi=nhc_xi, nhc_lam_xi=nhc_lam_xi,
         ), frc_new
 
@@ -513,10 +601,11 @@ class TiledEngine:
 
         def run(st: TiledState):
             def outer(carry, _):
-                st, overflow = carry
+                st, overflow, phi_prev = carry
                 st, ov = rebin(st, self.ts.params)
                 overflow = overflow | ov
-                frc = self.compute_forces(st)
+                frc = self.compute_forces(st, kspace_impulse=True,
+                                          phi_recip_prev=phi_prev)
                 wxO0 = st.wx[:, :, 0::3]
 
                 def inner(c, _):
@@ -531,10 +620,12 @@ class TiledEngine:
                 # true drift; parked rows don't move
                 dw2 = jnp.sum((st.wx[:, :, 0::3] - wxO0) ** 2, axis=0)
                 overflow = overflow | (jnp.max(dw2) > drift_budget ** 2)
-                return (st, overflow), obs
+                return (st, overflow, frc.phi_recip_s), obs
 
-            (st, overflow), obs = jax.lax.scan(
-                outer, (st, jnp.array(False)), None, length=n_blocks)
+            qs0 = self.charges_solute(st.lam)
+            (st, overflow, _), obs = jax.lax.scan(
+                outer, (st, jnp.array(False), jnp.zeros_like(qs0)), None,
+                length=n_blocks)
             obs = jax.tree.map(
                 lambda a: a.reshape((n_blocks * block,) + a.shape[2:]), obs)
             return st, overflow, obs

@@ -23,8 +23,8 @@ The package layout:
 - ``integrators``  — velocity-Verlet, Langevin (BAOAB), Nosé–Hoover chains
 - ``engine``       — the composed jitted MD step + run loop + observables
 - ``tiled``        — the production cell-tile engine: gather-free stencil
-                     forces, lane-native SHAKE, Pallas water-water kernel,
-                     elastic capacity driver
+                     forces, lane-native SHAKE, Pallas water-water kernels,
+                     elastic capacity driver, MC-barostat NPT
 - ``parallel``     — replica exchange / spatial sharding over a jax Mesh
 - ``systems``      — procedural system builders (water boxes, titratable sites,
                      synthetic solvated protein) + LAMMPS data file reader

@@ -35,6 +35,11 @@ LN10 = 2.302585092994046
 # femtoseconds per nanosecond (for ns/day throughput reporting)
 FS_PER_NS = 1.0e6
 
+# P·V work conversion for the MC barostat: 1 atm·Å³ in kcal/mol.
+# 101325 Pa · 1e-30 m³ = 1.01325e-25 J; × N_A (6.02214076e23 /mol)
+# = 6.1019e-2 J/mol = 6.1019e-2/4184 kcal/mol.
+ATM_A3_TO_KCAL = 101325.0 * 1e-30 * 6.02214076e23 / 4184.0
+
 
 def kT(temperature: float) -> float:
     """Thermal energy in kcal/mol at the given temperature (K)."""

@@ -1,0 +1,106 @@
+"""MC-barostat NPT (tiled/npt.py): molecular-scaling volume moves.
+
+The reference fix is ensemble-agnostic, but its host world runs
+constant-pH production at NpT — this is the ROADMAP item 4 capability.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from constant_ph_tpu.engine import EngineConfig
+from constant_ph_tpu.ops.ewald import make_ewald_params
+from constant_ph_tpu.systems.water import solvated_acid
+from constant_ph_tpu.tiled.engine import TiledEngine
+from constant_ph_tpu.tiled.npt import make_mc_barostat, npt_elastic_run
+from constant_ph_tpu.tiled.layout import split_system, to_tiled
+
+
+def _build(n_side=5, seed=9):
+    sys_ = solvated_acid(
+        n_side=n_side, rigid_water=True, lambda_coupled=True,
+        cutoff=6.0, skin=1.5, coul_style="dsf", alpha=0.2, seed=seed,
+        pH=5.0,
+    )
+    ts = split_system(sys_, skin=1.5)
+    tst = to_tiled(ts, sys_.state)
+    return sys_, ts, tst
+
+
+def _oh_distances(ts, tst):
+    """All valid-water O-H distances (no PBC: molecules are whole)."""
+    W = ts.params.W
+    G = tst.wx.shape[1]
+    xm = np.asarray(tst.wx).reshape(3, G, W, 3)
+    v = np.asarray(tst.wvalid) > 0.5
+    d1 = np.sqrt(((xm[:, :, :, 1] - xm[:, :, :, 0]) ** 2).sum(0))[v]
+    d2 = np.sqrt(((xm[:, :, :, 2] - xm[:, :, :, 0]) ** 2).sum(0))[v]
+    return np.concatenate([d1, d2])
+
+
+def test_mc_move_preserves_rigid_geometry_and_scales_box():
+    sys_, ts, tst = _build()
+    cfg = EngineConfig(dt=1.0, thermostat="langevin", rebuild_every=10)
+    eng = TiledEngine(ts, cfg)
+    d0 = _oh_distances(ts, tst)
+    move = jax.jit(make_mc_barostat(eng, pressure_atm=1.0, T=300.0,
+                                    max_dlnV=0.02))
+    accepted_once = False
+    box0 = np.asarray(tst.box, np.float64)
+    cur = tst
+    for s in range(6):
+        cur, acc = move(cur, jax.random.PRNGKey(s))
+        accepted_once = accepted_once or bool(acc)
+    assert accepted_once
+    box1 = np.asarray(cur.box, np.float64)
+    assert not np.allclose(box1, box0)
+    # isotropic scaling
+    r = box1 / box0
+    np.testing.assert_allclose(r, r[0], rtol=1e-6)
+    # molecular COM scaling preserves rigid geometry exactly (f32 eps)
+    d1 = _oh_distances(ts, cur)
+    np.testing.assert_allclose(d1, d0, atol=5e-5)
+
+
+def test_mc_move_follows_pressure():
+    """At absurdly high pressure the PV term dominates: accepted moves
+    shrink the box; at strongly negative pressure they grow it."""
+    sys_, ts, tst = _build()
+    cfg = EngineConfig(dt=1.0, thermostat="langevin", rebuild_every=10)
+    eng = TiledEngine(ts, cfg)
+
+    def final_volume(p_atm):
+        move = jax.jit(make_mc_barostat(eng, pressure_atm=p_atm, T=300.0,
+                                        max_dlnV=0.01))
+        cur = tst
+        for s in range(12):
+            cur, acc = move(cur, jax.random.PRNGKey(100 + s))
+        b = np.asarray(cur.box, np.float64)
+        return float(np.prod(b))
+
+    v0 = float(np.prod(np.asarray(tst.box, np.float64)))
+    assert final_volume(2.0e5) < v0
+    assert final_volume(-2.0e5) > v0
+
+
+def test_npt_kspace_refused():
+    sys_, ts, tst = _build()
+    cfg = EngineConfig(dt=1.0, rebuild_every=10)
+    ep = make_ewald_params(np.asarray(sys_.state.box), 0.35, accuracy=1e-4)
+    eng = TiledEngine(ts, cfg, kspace_ep=ep)
+    with pytest.raises(NotImplementedError, match="barostat"):
+        make_mc_barostat(eng, pressure_atm=1.0, T=300.0)
+
+
+def test_npt_elastic_run_smoke():
+    sys_, ts, tst = _build()
+    cfg = EngineConfig(dt=1.0, thermostat="langevin", T=300.0, gamma=0.01,
+                       lambda_thermostat="langevin", rebuild_every=8,
+                       force_cap=50.0)
+    ts, tst, obs, info, stats = npt_elastic_run(
+        ts, tst, cfg, 48, pressure_atm=1.0, chunk=16, max_dlnV=5e-3)
+    assert stats["proposed"] == 3
+    assert 0 <= stats["accepted"] <= 3
+    assert len(stats["volume"]) == 3
+    assert np.isfinite(np.asarray(obs.h_conserved)).all()
+    assert np.isfinite(np.asarray(obs.temp)).all()

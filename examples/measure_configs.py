@@ -94,23 +94,53 @@ def main():
     print(f"config4 polypeptide DSF: {ms:.2f} ms/step  {nsday:.1f} ns/day "
           f"(finite={ok}, T={T:.0f}K)")
 
+    # k-space configs need a CONSISTENT Ewald split: real-space erfc
+    # screening at the SAME alpha as the reciprocal term (coul_style
+    # "cut" + alpha = the Ewald real-space kernel), not the DSF pair
+    # params the config-4 system was built with. Rebuild the pair tables
+    # at matching alpha and carry the equilibrated positions over.
+    from constant_ph_tpu.ops.pme import make_pme_params
+    from constant_ph_tpu.tiled.layout import retile, to_canonical
+
+    state_eq = to_canonical(ts, jax.tree.map(jnp.asarray,
+                                             jax.device_get(tst)))
+    occ = int(np.asarray(tst.wvalid).sum(axis=1).max())
+
+    def rebuilt(alpha):
+        with jax.default_device(cpu):
+            sk = solvated_polypeptide(
+                n_residues=40, sites_every=2, box_len=66.0,
+                water_spacing=3.1, cutoff=8.0, skin=0.8,
+                coul_style="cut", alpha=alpha, pH=5.0)
+            tsk = split_system(sk, skin=0.8, tile_safety=1.72)
+            tstk = to_tiled(tsk, state_eq)
+            if tsk.params.W > ts.params.W:
+                tsk, tstk = retile(tsk, tstk, ts.params.W)
+        return tsk, jax.device_put(tstk, dev)
+
+    ts_ew, tst_ew = rebuilt(0.35)
     ep = make_ewald_params(np.asarray(sys_.state.box), 0.35, accuracy=1e-5)
-    eng_ew = TiledEngine(ts, cfg, kspace_ep=ep)
-    ms, nsday, ok, T = measure(eng_ew, tst, dt)
+    eng_ew = TiledEngine(ts_ew, cfg, kspace_ep=ep)
+    ms, nsday, ok, T = measure(eng_ew, tst_ew, dt)
     print(f"config3 polypeptide Ewald(a=0.35): {ms:.2f} ms/step  "
           f"{nsday:.1f} ns/day (finite={ok}, T={T:.0f}K)")
 
     # tuned via examples/probe_pme_params.py: alpha=0.30 + 1.5 A mesh has
     # the same force accuracy vs the factorized-Ewald oracle (6.7e-5 rel)
     # as alpha=0.35 + 1.0 A, at ~20% less step time
-    from constant_ph_tpu.ops.pme import make_pme_params
-    pp = make_pme_params(np.asarray(sys_.state.box), ts.params.grid, 0.30,
-                         spacing=1.5, p=6)
+    ts_pm, tst_pm = rebuilt(0.30)
+    pp = make_pme_params(np.asarray(sys_.state.box), ts_pm.params.grid, 0.30,
+                         spacing=1.5, p=6, skin=0.8)
     log(f"PME mesh {pp.mesh} (per-cell {pp.m}, halo {pp.h})")
-    eng_pm = TiledEngine(ts, cfg, kspace_ep=pp)
-    ms, nsday, ok, T = measure(eng_pm, tst, dt)
-    print(f"config3 polypeptide PME(a=0.30, 1.5A, p=6): {ms:.2f} ms/step  "
-          f"{nsday:.1f} ns/day (finite={ok}, T={T:.0f}K)")
+    for k_ev in (1, 2, 3):
+        cfg_k = EngineConfig(dt=dt, thermostat="langevin", T=300.0,
+                             gamma=0.002, lambda_thermostat="langevin",
+                             rebuild_every=12, kspace_every=k_ev)
+        eng_pm = TiledEngine(ts_pm, cfg_k, kspace_ep=pp)
+        ms, nsday, ok, T = measure(eng_pm, tst_pm, dt)
+        print(f"config3 polypeptide PME(a=0.30, 1.5A, p=6, "
+              f"kspace_every={k_ev}): {ms:.2f} ms/step  "
+              f"{nsday:.1f} ns/day (finite={ok}, T={T:.0f}K)")
 
 
 if __name__ == "__main__":

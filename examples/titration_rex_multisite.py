@@ -35,6 +35,37 @@ def log(msg):
     print(f"# {msg}", file=sys.stderr, flush=True)
 
 
+def save_ckpt(path, batch, key, frac_sum, frac_n, acc, n_overflow, s_done,
+              dG, W):
+    """Full driver state → one .npz (checkpoint.py §5.4 policy, extended
+    to the vmapped replica batch + host-side accumulators), so a crashed
+    TPU worker costs at most one checkpoint interval."""
+    leaves, _ = jax.tree_util.tree_flatten(jax.device_get(batch))
+    phs = np.array(sorted(frac_sum))
+    np.savez(path + ".tmp.npz",
+             key=np.asarray(key),
+             frac_sum=np.stack([frac_sum[p] for p in phs]),
+             frac_n=np.array([frac_n[p] for p in phs]),
+             phs=phs, acc=acc, n_overflow=n_overflow, s_done=s_done,
+             dG=dG, W=W, n_leaves=len(leaves),
+             **{f"leaf{i}": np.asarray(l) for i, l in enumerate(leaves)})
+    os.replace(path + ".tmp.npz", path)
+
+
+def load_ckpt(path, template_batch):
+    d = np.load(path)
+    leaves, treedef = jax.tree_util.tree_flatten(template_batch)
+    assert int(d["n_leaves"]) == len(leaves), "checkpoint/layout mismatch"
+    new = [jnp.asarray(d[f"leaf{i}"], leaves[i].dtype)
+           for i in range(len(leaves))]
+    batch = jax.tree_util.tree_unflatten(treedef, new)
+    phs = d["phs"]
+    frac_sum = {float(p): d["frac_sum"][i] for i, p in enumerate(phs)}
+    frac_n = {float(p): int(d["frac_n"][i]) for i, p in enumerate(phs)}
+    return (batch, jnp.asarray(d["key"], jnp.uint32), frac_sum, frac_n,
+            float(d["acc"]), int(d["n_overflow"]), int(d["s_done"]))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--replicas", type=int, default=10)
@@ -50,6 +81,9 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--small", action="store_true",
                     help="tiny system for smoke-testing the driver logic")
+    ap.add_argument("--ckpt", default="examples/results/"
+                                      "rex_multisite_ckpt.npz")
+    ap.add_argument("--ckpt-every", type=int, default=10)
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -83,35 +117,45 @@ def main():
     log(f"{sys_.state.x.shape[0]} atoms, {S} sites "
         f"(pK classes {sorted(set(pks.tolist()))})")
 
-    # ---- minimize + thermal equilibration + cost-aware retile ----
-    cfg_eq = EngineConfig(dt=0.5, thermostat="langevin", T=300.0, gamma=0.01,
-                          lambda_thermostat="langevin", rebuild_every=8,
-                          force_cap=50.0)
-    eng = TiledEngine(ts, cfg_eq)
-    tst, _ = jax.jit(eng.make_minimize(400))(tst)
-    run_eq = jax.jit(eng.make_run(args.eq_steps))
-    for _ in range(3):
-        tst, ov, obs = run_eq(tst)
-    occ = int(np.asarray(tst.wvalid).sum(axis=1).max())
-    # generous margin: the replica batch is vmapped, no in-loop retile
-    with jax.default_device(cpu):
-        ts, tst = retile_auto(ts, jax.tree.map(jnp.asarray,
-                                               jax.device_get(tst)), occ,
-                              margin_min=10, margin_max=18)
-    tst = jax.device_put(tst, dev)
-    log(f"equilibrated, occ={occ}, W={ts.params.W} "
-        f"({time.time()-t0:.0f}s)")
+    resume = os.path.exists(args.ckpt)
+    if resume:
+        hdr = np.load(args.ckpt)
+        W_saved, dG = int(hdr["W"]), float(hdr["dG"])
+        from constant_ph_tpu.tiled.layout import retile
+        with jax.default_device(cpu):
+            ts, tst = retile(ts, tst, W_saved)
+        ts.spec = titration.apply_dG_ref(ts.spec, dG)
+        log(f"resuming from {args.ckpt}: W={W_saved}, dG_ref={dG:.3f}")
+    else:
+        # ---- minimize + thermal equilibration + cost-aware retile ----
+        cfg_eq = EngineConfig(dt=0.5, thermostat="langevin", T=300.0,
+                              gamma=0.01, lambda_thermostat="langevin",
+                              rebuild_every=8, force_cap=50.0)
+        eng = TiledEngine(ts, cfg_eq)
+        tst, _ = jax.jit(eng.make_minimize(400))(tst)
+        run_eq = jax.jit(eng.make_run(args.eq_steps))
+        for _ in range(3):
+            tst, ov, obs = run_eq(tst)
+        occ = int(np.asarray(tst.wvalid).sum(axis=1).max())
+        # generous margin: the replica batch is vmapped, no in-loop retile
+        with jax.default_device(cpu):
+            ts, tst = retile_auto(ts, jax.tree.map(jnp.asarray,
+                                                   jax.device_get(tst)), occ,
+                                  margin_min=10, margin_max=18)
+        tst = jax.device_put(tst, dev)
+        log(f"equilibrated, occ={occ}, W={ts.params.W} "
+            f"({time.time()-t0:.0f}s)")
 
-    # ---- shared TI calibration (one headgroup chemistry -> one dG_ref) ----
-    cfg_cal = EngineConfig(dt=1.0, thermostat="langevin", T=300.0,
-                           gamma=0.01, lambda_thermostat="langevin",
-                           rebuild_every=12)
-    dG = titration.calibrate_dG_ref_tiled(
-        ts, tst, cfg_cal, site=0,
-        equil_steps=max(100, args.cal_steps // 6),
-        sample_steps=args.cal_steps)
-    ts.spec = titration.apply_dG_ref(ts.spec, dG)
-    log(f"TI dG_ref = {dG:.3f} kcal/mol ({time.time()-t0:.0f}s)")
+        # ---- shared TI calibration (one headgroup -> one dG_ref) ----
+        cfg_cal = EngineConfig(dt=1.0, thermostat="langevin", T=300.0,
+                               gamma=0.01, lambda_thermostat="langevin",
+                               rebuild_every=12)
+        dG = titration.calibrate_dG_ref_tiled(
+            ts, tst, cfg_cal, site=0,
+            equil_steps=max(100, args.cal_steps // 6),
+            sample_steps=args.cal_steps)
+        ts.spec = titration.apply_dG_ref(ts.spec, dG)
+        log(f"TI dG_ref = {dG:.3f} kcal/mol ({time.time()-t0:.0f}s)")
 
     # ---- replica ladder ----
     R = args.replicas
@@ -135,12 +179,22 @@ def main():
     key = jax.random.PRNGKey(11)
     burn = args.swaps // 4
     # per (pH rung, site): accumulated deprotonated fraction; bin by the
-    # pH each replica HELD DURING the block (swap happens after the MD)
-    frac_sum = {float(p): np.zeros(S) for p in pHs}
-    frac_n = {float(p): 0 for p in pHs}
+    # pH each replica HELD DURING the block (swap happens after the MD).
+    # Keys snap to the f32-cast rung values: batch.pH is f32, so a rung
+    # like 3.4444… must be keyed by its f32 round-trip or the lookup
+    # below KeyErrors on any non-f32-exact ladder.
+    ph_keys = np.asarray(np.asarray(pHs, np.float32), np.float64).round(6)
+    frac_sum = {float(p): np.zeros(S) for p in ph_keys}
+    frac_n = {float(p): 0 for p in ph_keys}
     acc = 0.0
     n_overflow = 0
-    for s in range(args.swaps):
+    s_start = 0
+    if resume:
+        (batch, key, frac_sum, frac_n, acc, n_overflow,
+         s_start) = load_ckpt(args.ckpt, batch)
+        batch = jax.device_put(batch, dev)
+        log(f"resumed at swap {s_start}")
+    for s in range(s_start, args.swaps):
         ph_during = np.asarray(batch.pH, np.float64).round(6)
         batch, key, accepted, overflow, stats = block(batch, key, s % 2)
         acc += float(jnp.mean(accepted))
@@ -171,6 +225,9 @@ def main():
                 f"overflow={n_overflow} "
                 f"mad={curves['summary'].get('mean_abs_dev')} "
                 f"({time.time()-t0:.0f}s)")
+        if (s + 1) % args.ckpt_every == 0:
+            save_ckpt(args.ckpt, batch, key, frac_sum, frac_n, acc,
+                      n_overflow, s + 1, dG, ts.params.W)
     log(f"done in {time.time()-t0:.0f}s -> {args.out}")
     print(json.dumps(out["summary"]))
 

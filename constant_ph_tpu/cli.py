@@ -183,9 +183,30 @@ def cmd_run(args):
                 dw.write_frame(np.asarray(to_canonical(ts_c, tst_c).x),
                                np.asarray(system.state.box))
 
-        ts, tst, obs, info = elastic_run(
-            ts, tst, ecfg, n_steps, chunk=chunk, bias=bias,
-            kspace_ep=kspace_ep, on_chunk=on_chunk)
+        pressure = run_cfg.get("pressure")
+        if pressure is not None:
+            # NpT: MC barostat between chunks (tiled/npt.py); refused
+            # with kspace until the reciprocal params track the live box
+            if kspace_ep is not None:
+                raise ValueError(
+                    "run.pressure (NPT) cannot be combined with a kspace "
+                    "style yet: Ewald/PME params bake the box at build "
+                    "time (see tiled/npt.py)")
+            from constant_ph_tpu.tiled.npt import npt_elastic_run
+
+            ts, tst, obs, info, npt_stats = npt_elastic_run(
+                ts, tst, ecfg, n_steps, pressure_atm=float(pressure),
+                chunk=chunk, bias=bias,
+                max_dlnV=float(run_cfg.get("barostat_dlnv", 2e-3)),
+                on_chunk=on_chunk)
+            vol = npt_stats["volume"]
+            print(f"# NPT: {npt_stats['accepted']}/"
+                  f"{npt_stats['proposed']} volume moves accepted, "
+                  f"V {vol[0]:.0f} -> {vol[-1]:.0f} A^3", file=sys.stderr)
+        else:
+            ts, tst, obs, info = elastic_run(
+                ts, tst, ecfg, n_steps, chunk=chunk, bias=bias,
+                kspace_ep=kspace_ep, on_chunk=on_chunk)
         if dw is not None:
             dw.close()
             print(f"# trajectory -> {traj}", file=sys.stderr)

@@ -66,14 +66,15 @@ def elastic_run(
 
     eng = make_eng(ts)
     n_waters = eng.n_waters
-    run = jax.jit(eng.make_run(chunk))
+    run = jax.jit(eng.make_run(chunk, detailed_flags=True))
     info = ElasticInfo()
     obs_parts = []
-    retried = False
     done = 0
     while done < n_steps:
-        tst2, ov, obs = run(tst)
-        if bool(ov) and not retried:
+        tst2, (ov_cap, ov_drift), obs = run(tst)
+        if bool(ov_cap):
+            # capacity: grow W and REDO the chunk from its (complete)
+            # start state — the early flag guarantees nothing was lost
             occ = int(np.asarray(tst.wvalid).sum(axis=1).max())
             with jax.default_device(cpu):
                 ts, tst = retile_auto(
@@ -81,14 +82,14 @@ def elastic_run(
                     max(occ, ts.params.W), margin_min=margin_min)
             tst = jax.device_put(tst, device)
             eng = make_eng(ts)
-            run = jax.jit(eng.make_run(chunk))
+            run = jax.jit(eng.make_run(chunk, detailed_flags=True))
             info.n_retiles += 1
             info.retile_steps.append(done)
-            retried = True
             continue
-        if bool(ov):
+        if bool(ov_drift):
+            # dangerous build (water drift past skin between rebins):
+            # counted, as in LAMMPS; not a capacity problem
             info.n_dangerous_blocks += 1
-        retried = False
         tst = tst2
         done += chunk
         assert int(np.asarray(tst.wvalid).sum()) == n_waters, \

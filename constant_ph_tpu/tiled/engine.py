@@ -583,7 +583,15 @@ class TiledEngine:
 
     # -- run loop ------------------------------------------------------------
 
-    def make_run(self, n_steps: int):
+    def make_run(self, n_steps: int, detailed_flags: bool = False):
+        """Jittable run loop: rebin + `rebuild_every`-step blocks.
+
+        Returns (state, overflow, obs). `overflow` is the OR of the
+        capacity flag (rebin's early slot-full warning) and the
+        dangerous-build drift flag; with ``detailed_flags=True`` it is
+        the pair (capacity, drift) instead, so drivers can retile on the
+        former and merely count the latter (ROADMAP item 6 — replaces
+        the elastic driver's retry heuristic)."""
         block = self.cfg.rebuild_every
         n_blocks = -(-n_steps // block)
 
@@ -601,9 +609,9 @@ class TiledEngine:
 
         def run(st: TiledState):
             def outer(carry, _):
-                st, overflow, phi_prev = carry
+                st, ov_cap, ov_drift, phi_prev = carry
                 st, ov = rebin(st, self.ts.params)
-                overflow = overflow | ov
+                ov_cap = ov_cap | ov
                 frc = self.compute_forces(st, kspace_impulse=True,
                                           phi_recip_prev=phi_prev)
                 wxO0 = st.wx[:, :, 0::3]
@@ -619,16 +627,20 @@ class TiledEngine:
                 # moves rows at block start), so plain differences measure
                 # true drift; parked rows don't move
                 dw2 = jnp.sum((st.wx[:, :, 0::3] - wxO0) ** 2, axis=0)
-                overflow = overflow | (jnp.max(dw2) > drift_budget ** 2)
-                return (st, overflow, frc.phi_recip_s), obs
+                ov_drift = ov_drift | (jnp.max(dw2) > drift_budget ** 2)
+                return (st, ov_cap, ov_drift, frc.phi_recip_s), obs
 
             qs0 = self.charges_solute(st.lam)
-            (st, overflow, _), obs = jax.lax.scan(
-                outer, (st, jnp.array(False), jnp.zeros_like(qs0)), None,
-                length=n_blocks)
+            (st, ov_cap, ov_drift, _), obs = jax.lax.scan(
+                outer,
+                (st, jnp.array(False), jnp.array(False),
+                 jnp.zeros_like(qs0)),
+                None, length=n_blocks)
             obs = jax.tree.map(
                 lambda a: a.reshape((n_blocks * block,) + a.shape[2:]), obs)
-            return st, overflow, obs
+            if detailed_flags:
+                return st, (ov_cap, ov_drift), obs
+            return st, ov_cap | ov_drift, obs
 
         return run
 

@@ -146,7 +146,7 @@ def npt_elastic_run(ts, tst, cfg, n_steps: int, *, pressure_atm: float,
     def build(ts_):
         kw = {"bias": bias} if bias is not None else {}
         eng = TiledEngine(ts_, cfg, **kw)
-        run = jax.jit(eng.make_run(chunk))
+        run = jax.jit(eng.make_run(chunk, detailed_flags=True))
         move = jax.jit(make_mc_barostat(
             eng, pressure_atm=pressure_atm, T=cfg.T, max_dlnV=max_dlnV))
         return eng, run, move
@@ -154,11 +154,10 @@ def npt_elastic_run(ts, tst, cfg, n_steps: int, *, pressure_atm: float,
     eng, run, move = build(ts)
     n_waters = eng.n_waters
     obs_parts = []
-    retried = False
     done = 0
     while done < n_steps:
-        tst2, ov, obs = run(tst)
-        if bool(ov) and not retried:
+        tst2, (ov_cap, ov_drift), obs = run(tst)
+        if bool(ov_cap):
             occ = int(np.asarray(tst.wvalid).sum(axis=1).max())
             with jax.default_device(cpu):
                 ts, tst = retile_auto(
@@ -168,11 +167,9 @@ def npt_elastic_run(ts, tst, cfg, n_steps: int, *, pressure_atm: float,
             eng, run, move = build(ts)
             info.n_retiles += 1
             info.retile_steps.append(done)
-            retried = True
             continue
-        if bool(ov):
+        if bool(ov_drift):
             info.n_dangerous_blocks += 1
-        retried = False
         tst = tst2
         done += chunk
         assert int(np.asarray(tst.wvalid).sum()) == n_waters, \

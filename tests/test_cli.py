@@ -74,6 +74,25 @@ def test_cli_run_trajectory(tmp_path, capsys):
     assert np.all(np.isfinite(frames[-1]))
 
 
+def test_cli_run_npt(tmp_path, capsys):
+    """run.pressure switches the tiled production loop to the MC-barostat
+    NPT driver (tiled/npt.py); kspace + pressure must refuse."""
+    p = _write_cfg(tmp_path, True)
+    cfg = json.load(open(p))
+    cfg["run"]["pressure"] = 1.0
+    cfg["run"]["steps"] = 30
+    json.dump(cfg, open(p, "w"))
+    main(["run", p])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    summary = json.loads(out)
+    assert np.isfinite(summary["e_pot"])
+
+    cfg["kspace"] = {"style": "pme", "alpha": 0.3, "spacing": 1.5, "p": 4}
+    json.dump(cfg, open(p, "w"))
+    with pytest.raises(ValueError, match="NPT"):
+        main(["run", p])
+
+
 def test_cli_titrate(tmp_path, capsys):
     p = _write_cfg(tmp_path, False)
     main(["titrate", p, "--ph", "4.0,5.0"])

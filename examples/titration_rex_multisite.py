@@ -84,11 +84,15 @@ def main():
     ap.add_argument("--ckpt", default="examples/results/"
                                       "rex_multisite_ckpt.npz")
     ap.add_argument("--ckpt-every", type=int, default=10)
+    ap.add_argument("--donnini-bias", action="store_true",
+                    help="use the stiff Donnini Table-S2 landscape instead "
+                         "of the soft sampling landscape (see below)")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
     from constant_ph_tpu import titration
+    from constant_ph_tpu.lambda_dyn import BiasParams
     from constant_ph_tpu.engine import EngineConfig
     from constant_ph_tpu.parallel.replica import (
         make_rex_runner_tiled, stack_replicas)
@@ -117,6 +121,17 @@ def main():
     log(f"{sys_.state.x.shape[0]} atoms, {S} sites "
         f"(pK classes {sorted(set(pks.tolist()))})")
 
+    # Sampling landscape: the Donnini Table-S2 constants put ~4.5 kcal of
+    # BIAS barrier (deep a=0.034 end wells + d=2 center) on top of the
+    # solvent-reorganization barrier — λ transitions then take 10-100 ps
+    # and a 2-ps-per-swap ladder samples a frozen step function (round-1
+    # state). The bias is a symmetric sampling device (it cancels in the
+    # equilibrium protonation — tests/test_titration.py validates both
+    # landscapes give the HH equilibrium), so production uses the soft
+    # landscape + slope-12 switching, same as the single-site REX curve.
+    bias = (BiasParams() if args.donnini_bias
+            else BiasParams(a=0.12, k=1.2, d=0.8, switch_slope=12.0))
+
     resume = os.path.exists(args.ckpt)
     if resume:
         hdr = np.load(args.ckpt)
@@ -131,7 +146,7 @@ def main():
         cfg_eq = EngineConfig(dt=0.5, thermostat="langevin", T=300.0,
                               gamma=0.01, lambda_thermostat="langevin",
                               rebuild_every=8, force_cap=50.0)
-        eng = TiledEngine(ts, cfg_eq)
+        eng = TiledEngine(ts, cfg_eq, bias=bias)
         tst, _ = jax.jit(eng.make_minimize(400))(tst)
         run_eq = jax.jit(eng.make_run(args.eq_steps))
         for _ in range(3):
@@ -151,7 +166,7 @@ def main():
                                gamma=0.01, lambda_thermostat="langevin",
                                rebuild_every=12)
         dG = titration.calibrate_dG_ref_tiled(
-            ts, tst, cfg_cal, site=0,
+            ts, tst, cfg_cal, bias=bias, site=0,
             equil_steps=max(100, args.cal_steps // 6),
             sample_steps=args.cal_steps)
         ts.spec = titration.apply_dG_ref(ts.spec, dG)
@@ -163,7 +178,7 @@ def main():
     cfg = EngineConfig(dt=2.0, thermostat="langevin", T=300.0, gamma=0.002,
                        lambda_thermostat="langevin", lambda_gamma=0.05,
                        rebuild_every=12)
-    eng = TiledEngine(ts, cfg)
+    eng = TiledEngine(ts, cfg, bias=bias)
     reps = []
     for r in range(R):
         lam0 = np.where(pks > pHs[r], 0.05, 0.95).astype(np.float32)

@@ -57,6 +57,7 @@ def solvated_polypeptide(
     pKs=(4.25, 3.65, 6.5),
     pH: float = 7.0,
     T: float = 300.0,
+    dq_scale: float = 1.0,
     cutoff: float = 9.0,
     skin: float = 2.0,
     alpha: float = 0.0,
@@ -218,10 +219,13 @@ def solvated_polypeptide(
     specs = []
     for s, ids in enumerate(site_atoms):
         buf = wat_o[s]          # s-th water is site s's buffer
+        # dq_scale < 1 reduces the site's Δq (the solvent-reorganization
+        # barrier scales as Δq² — same knob as solvated_acid's
+        # lambda_coupled; 1.0 = the full protonation charge change)
         specs.append(make_single_site(
             atom_idx=ids,
             q_prot=ACID_Q_PROT,
-            q_deprot=ACID_Q_DEPROT,
+            q_deprot=ACID_Q_PROT + (ACID_Q_DEPROT - ACID_Q_PROT) * dq_scale,
             pK=pKs[s % len(pKs)],
             buffer_idx=[buf, buf + 1, buf + 2],
             dtype=dtype,

@@ -87,6 +87,14 @@ def main():
     ap.add_argument("--donnini-bias", action="store_true",
                     help="use the stiff Donnini Table-S2 landscape instead "
                          "of the soft sampling landscape (see below)")
+    ap.add_argument("--dq-scale", type=float, default=1.0,
+                    help="site Δq scale; <1 reduces the solvent-"
+                         "reorganization barrier (Δq²) so near-pK rungs "
+                         "equilibrate within a block — the same knob the "
+                         "single-site REX curve uses (dq 0.15). At 1.0 the "
+                         "full-Δq landscape is metastable on 2-ps blocks "
+                         "and the measured curve is a REX-shuttled step "
+                         "function (see results/..._fullq_v5e.json)")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -104,7 +112,8 @@ def main():
     cpu = jax.local_devices(backend="cpu")[0]
     build = dict(n_residues=40, sites_every=2, box_len=66.0,
                  water_spacing=3.1, cutoff=8.0, skin=0.8,
-                 coul_style="dsf", alpha=0.2, pH=5.0)
+                 coul_style="dsf", alpha=0.2, pH=5.0,
+                 dq_scale=args.dq_scale)
     split = dict(skin=0.8, tile_safety=1.72)
     if args.small:
         build.update(n_residues=8, box_len=26.0, water_spacing=3.4,
@@ -223,7 +232,8 @@ def main():
             curves = _curves(pks, pHs, frac_sum, frac_n)
             out = {
                 "system": {"atoms": int(sys_.state.x.shape[0]), "sites": S,
-                           "pK": pks.tolist()},
+                           "pK": pks.tolist(),
+                           "dq_scale": args.dq_scale},
                 "dG_ref": dG,
                 "replicas": R, "swaps_done": s + 1,
                 "steps_per_swap": args.steps_per_swap,

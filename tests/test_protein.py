@@ -60,3 +60,25 @@ def test_multisite_dUdlam_matches_autodiff():
     want = jax.grad(e_elec)(lam)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=3e-3, atol=3e-3)
+
+
+def test_dq_scale_neutrality_and_magnitude():
+    """dq_scale shrinks every site's Δq linearly while the buffer keeps
+    Σq exactly constant at any λ (Ewald-neutrality invariant)."""
+    full = solvated_polypeptide(n_residues=8, sites_every=2, box_len=30.0,
+                                cutoff=6.0, dq_scale=1.0)
+    half = solvated_polypeptide(n_residues=8, sites_every=2, box_len=30.0,
+                                cutoff=6.0, dq_scale=0.5)
+    for sys_ in (full, half):
+        S = sys_.spec.n_sites
+        q0 = lambda_dyn.charges(sys_.ff.q0, sys_.spec, jnp.zeros(S))
+        q1 = lambda_dyn.charges(sys_.ff.q0, sys_.spec, jnp.ones(S))
+        np.testing.assert_allclose(float(jnp.sum(q1 - q0)), 0.0, atol=1e-5)
+    dq_full = (lambda_dyn.charges(full.ff.q0, full.spec,
+                                  jnp.ones(full.spec.n_sites))
+               - full.ff.q0)
+    dq_half = (lambda_dyn.charges(half.ff.q0, half.spec,
+                                  jnp.ones(half.spec.n_sites))
+               - half.ff.q0)
+    np.testing.assert_allclose(np.asarray(dq_half), 0.5 * np.asarray(dq_full),
+                               atol=1e-6)

@@ -116,6 +116,54 @@ def make_mc_barostat(eng: TiledEngine, *, pressure_atm: float,
     return move
 
 
+def make_pressure_fn(eng: TiledEngine, *, T: float, dlnV: float = 2e-4):
+    """Jittable instantaneous MOLECULAR pressure (atm): P = N_mol·kT/V −
+    ∂U/∂V at fixed molecular fractional coordinates, with ∂U/∂V by
+    central difference of the same COM-scaled energy the MC barostat
+    uses (rigid bodies ⇒ molecular virial; intramolecular constraint
+    forces do no P·V work). Costs two extra force evaluations — a
+    diagnostic, not a hot-path term."""
+    if eng.kspace_ep is not None:
+        raise NotImplementedError(
+            "pressure with Ewald/PME needs box-dependent reciprocal "
+            "params (same extension point as the MC barostat)")
+    ts = eng.ts
+    wm = ts.water
+    W = ts.params.W
+    mass_pat = jnp.asarray(np.asarray(wm.mass_pattern, np.float32))
+    m_tot_w = float(np.sum(wm.mass_pattern))
+    onehot_np, n_g = _solute_groups(ts)
+    onehot = jnp.asarray(onehot_np)
+    m_s = np.asarray(ts.solute.mass) * np.asarray(ts.solute.smask)
+    m_g = np.maximum(onehot_np.T @ m_s, 1e-30)
+    w_com = jnp.asarray((m_s[:, None] * onehot_np) / m_g[None, :])
+    n_mol_solute = 1 if int(np.sum(np.asarray(ts.solute.smask))) else 0
+    n_mol_static = n_g - 1 + n_mol_solute
+    kT = units.BOLTZ * T
+
+    def scaled_energy(tst: TiledState, s):
+        G = tst.wx.shape[1]
+        wx_m = tst.wx.reshape(3, G, W, 3)
+        com = jnp.einsum("dgwa,a->dgw", wx_m, mass_pat) / m_tot_w
+        wx_new = (wx_m + (s - 1.0) * com[..., None]).reshape(tst.wx.shape)
+        com_g = jnp.einsum("ia,id->ad", w_com, tst.sx)
+        sx_new = tst.sx + (s - 1.0) * (onehot @ com_g)
+        t2 = tst.replace(wx=wx_new, sx=sx_new, box=tst.box * s)
+        return eng.compute_forces(t2).e_pot
+
+    def pressure(tst: TiledState):
+        v = tst.box[0] * tst.box[1] * tst.box[2]
+        s_hi = jnp.exp(dlnV / 3.0)
+        s_lo = jnp.exp(-dlnV / 3.0)
+        dv = v * (jnp.exp(dlnV) - jnp.exp(-dlnV))   # V_hi - V_lo
+        du_dv = (scaled_energy(tst, s_hi) - scaled_energy(tst, s_lo)) / dv
+        n_mol = jnp.sum(tst.wvalid) + float(n_mol_static)
+        p_kcal_a3 = n_mol * kT / v - du_dv          # kcal/mol per Å³
+        return p_kcal_a3 / units.ATM_A3_TO_KCAL     # atm
+
+    return pressure
+
+
 def npt_elastic_run(ts, tst, cfg, n_steps: int, *, pressure_atm: float,
                     chunk: int = 2000, bias=None, margin_min: int = 6,
                     max_dlnV: float = 2e-3, seed: int = 0,

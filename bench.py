@@ -13,12 +13,12 @@ blocks, zero gathers per step. Prints ONE JSON line:
 """
 from __future__ import annotations
 
+import argparse
 import json
+import os
+import subprocess
 import sys
 import time
-
-import jax
-import jax.numpy as jnp
 
 BASELINE_NS_DAY = 5.0
 
@@ -27,18 +27,83 @@ def log(msg):
     print(f"# {msg}", file=sys.stderr, flush=True)
 
 
+def accelerator_healthy(timeout=300):
+    """Probe the accelerator backend in a SUBPROCESS with a hard timeout.
+
+    A half-up TPU tunnel blocks device enumeration with no error (observed
+    end of round 2: bench rc=1 / dryrun rc=124 during a tunnel outage), so
+    the probe must be killable from outside. Healthy means: devices
+    enumerate, a matmul executes, and the platform is not plain CPU.
+    """
+    code = (
+        "import jax; d = jax.devices(); import jax.numpy as jnp; "
+        "x = jnp.ones((128, 128)); jax.block_until_ready(x @ x); "
+        "print('PLATFORM=' + d[0].platform)"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=timeout, env=os.environ.copy(),
+        )
+    except subprocess.TimeoutExpired:
+        log(f"accelerator probe timed out after {timeout}s")
+        return False
+    if r.returncode != 0:
+        log(f"accelerator probe failed rc={r.returncode}: "
+            f"{r.stderr.strip().splitlines()[-1] if r.stderr.strip() else ''}")
+        return False
+    return "PLATFORM=cpu" not in r.stdout
+
+
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("rebuild_every", nargs="?", type=int, default=12)
+    ap.add_argument("--platform", choices=["auto", "accel", "cpu"],
+                    default="auto")
+    args = ap.parse_args()
+
+    if args.platform == "auto":
+        if accelerator_healthy():
+            args.platform = "accel"
+        else:
+            # Re-exec in a scrubbed pure-CPU interpreter: JAX_PLATFORMS must
+            # land before backend init, and the accelerator sitecustomize
+            # (loaded via PYTHONPATH) must not register its plugin at all —
+            # a dead tunnel makes even backend *enumeration* hang.
+            log("accelerator unavailable -> CPU fallback (reduced workload)")
+            env = {k: v for k, v in os.environ.items()
+                   if not k.startswith(("PALLAS_AXON", "AXON_", "TPU_"))}
+            env["JAX_PLATFORMS"] = "cpu"
+            env["PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__))
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 str(args.rebuild_every), "--platform", "cpu"],
+                env=env,
+            )
+            sys.exit(r.returncode)
+
+    run_bench(args.rebuild_every, cpu_fallback=(args.platform == "cpu"))
+
+
+def run_bench(rebuild_every_arg, cpu_fallback=False):
+    import jax
+    import jax.numpy as jnp
+
     from constant_ph_tpu.engine import EngineConfig
     from constant_ph_tpu.systems.water import solvated_acid
     from constant_ph_tpu.tiled.engine import TiledEngine
     from constant_ph_tpu.tiled.layout import split_system, to_tiled
+
+    # CPU fallback keeps the identical pipeline but shrinks the box and the
+    # measured window so the whole run stays within a few minutes host-side.
+    n_side = 10 if cpu_fallback else 20
 
     # build host-side on the CPU backend — per-array transfers through the
     # TPU tunnel are seconds each; one device_put at the end is cheap
     cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu):
         sys_ = solvated_acid(
-            n_side=20, rigid_water=True, lambda_coupled=True,
+            n_side=n_side, rigid_water=True, lambda_coupled=True,
             cutoff=8.0, skin=0.8, coul_style="dsf", alpha=0.2, pH=5.0,
             hmr=3.0,
         )
@@ -67,7 +132,7 @@ def main():
     jax.block_until_ready(tst.wx)
     log(f"equilibration block 1: T={float(obs.temp[-1]):.0f}K "
         f"overflow={bool(ov)}")
-    for _ in range(3):
+    for _ in range(1 if cpu_fallback else 3):
         tst, ov, obs = run_eq(tst)
     jax.block_until_ready(tst.wx)
     log(f"equilibrated: T={float(obs.temp[-1]):.0f}K overflow={bool(ov)}")
@@ -94,7 +159,7 @@ def main():
     # amortize it; the dangerous-build monitor in make_run flags any
     # interval that lets water drift past the skin (overridable for A/B:
     # `python bench.py [rebuild_every]`)
-    rebuild_every = int(sys.argv[1]) if len(sys.argv) > 1 else 12
+    rebuild_every = rebuild_every_arg
     cfg = EngineConfig(
         dt=dt, thermostat="langevin", T=300.0, gamma=0.002,
         lambda_thermostat="langevin", rebuild_every=rebuild_every,
@@ -109,7 +174,7 @@ def main():
         tst, ov, obs = run_block(tst)
     jax.block_until_ready(tst.wx)
 
-    n_blocks = 60
+    n_blocks = 10 if cpu_fallback else 60
     t0 = time.perf_counter()
     for _ in range(n_blocks):
         tst, ov, obs = run_block(tst)
@@ -122,10 +187,11 @@ def main():
         f"T={float(obs.temp[-1]):.0f}K lam={float(obs.lam[-1][0]):.3f}")
 
     ns_per_day = (n_meas * dt / 1.0e6) / (wall / 86400.0)
+    where = ("CPU FALLBACK, accelerator tunnel unavailable"
+             if cpu_fallback else "TPU tiled path")
     result = {
         "metric": f"constant-pH MD ns/day, {n_atoms}-atom solvated titratable"
-                  f" acid (rigid SPC/E, DSF coulomb, dt={dt}fs, TPU tiled"
-                  f" path)",
+                  f" acid (rigid SPC/E, DSF coulomb, dt={dt}fs, {where})",
         "value": round(ns_per_day, 3),
         "unit": "ns/day",
         "vs_baseline": round(ns_per_day / BASELINE_NS_DAY, 3),

@@ -231,12 +231,20 @@ def write_lammps_data(path: str, system: System, *, pair_eps=None,
 
     # molecule ids: solute = mol 1; each rigid-water triple its own mol
     mol = np.ones(n, dtype=int)
-    b_rows = ([tuple(r) + (float(k), float(r0)) for r, k, r0 in
+    # Skip mask==0 spring rows: those are exactly the constraint-derived
+    # bonds/angles (a deck-read system keeps them masked out of the bonded
+    # forces, system_from_lammps_data below) — they are re-added from the
+    # constraint triplets right after, so keeping them here would duplicate
+    # every O-H bond on re-export and break the reader's len(hs)==2 rigid-
+    # water detection on the next round-trip.
+    b_rows = ([tuple(r) + (float(k), float(r0)) for r, k, r0, bm in
                zip(np.asarray(bp.bond_idx), np.asarray(bp.bond_k),
-                   np.asarray(bp.bond_r0))] if bp is not None else [])
-    a_rows = ([tuple(r) + (float(k), float(np.rad2deg(t0))) for r, k, t0 in
-               zip(np.asarray(bp.angle_idx), np.asarray(bp.angle_k),
-                   np.asarray(bp.angle_t0))] if bp is not None else [])
+                   np.asarray(bp.bond_r0), np.asarray(bp.bond_mask))
+               if bm != 0.0] if bp is not None else [])
+    a_rows = ([tuple(r) + (float(k), float(np.rad2deg(t0))) for r, k, t0, am
+               in zip(np.asarray(bp.angle_idx), np.asarray(bp.angle_k),
+                      np.asarray(bp.angle_t0), np.asarray(bp.angle_mask))
+               if am != 0.0] if bp is not None else [])
     cons = system.constraints
     if cons is not None and getattr(cons, "triplets", None) is not None:
         trips = np.asarray(cons.triplets)

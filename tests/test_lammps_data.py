@@ -62,6 +62,38 @@ def test_roundtrip_energy_parity(roundtrip):
     np.testing.assert_allclose(e2, e1, rtol=2e-4, atol=1e-3)
 
 
+def test_reexport_preserves_rigid_water(tmp_path):
+    """Deck-read system → write → read again must keep the same bond count
+    and still detect the rigid-water constraints (regression: constraint-
+    derived masked spring rows used to be re-exported alongside the rows
+    re-added from triplets, duplicating every O-H bond and silently turning
+    rigid water into unmasked 450-kcal springs on the second read)."""
+    sys_ = solvated_acid(n_side=3, rigid_water=True, cutoff=4.5,
+                         coul_style="dsf", alpha=0.2, seed=4)
+    trip0 = np.asarray(sys_.constraints.triplets)[0]
+    types = np.asarray(sys_.ff.type)
+    rwt = (int(types[trip0[0]]) + 1, int(types[trip0[1]]) + 1)
+    p1 = str(tmp_path / "a.data")
+    ld.write_lammps_data(p1, sys_)
+    sys2 = ld.system_from_lammps_data(
+        p1, cutoff=4.5, coul_style="dsf", alpha=0.2,
+        rigid_water_types=rwt)
+    assert sys2.constraints is not None
+    p2 = str(tmp_path / "b.data")
+    ld.write_lammps_data(p2, sys2)
+    sys3 = ld.system_from_lammps_data(
+        p2, cutoff=4.5, coul_style="dsf", alpha=0.2,
+        rigid_water_types=rwt)
+    assert sys3.constraints is not None
+    assert (sys3.constraints.triplets.shape ==
+            sys2.constraints.triplets.shape)
+    assert (sys3.bonded.bond_idx.shape[0] ==
+            sys2.bonded.bond_idx.shape[0])
+    # constraint-derived springs stay masked out of the bonded forces
+    np.testing.assert_allclose(np.asarray(sys3.bonded.bond_mask).sum(),
+                               np.asarray(sys2.bonded.bond_mask).sum())
+
+
 def test_native_exclusion_builder():
     from constant_ph_tpu.forcefield import build_exclusions
     from constant_ph_tpu.native.build import load_library

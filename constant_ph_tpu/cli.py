@@ -11,7 +11,8 @@ Config keys (all optional beyond `system`):
   system:   {builder: solvated_acid|water_box|solvated_polypeptide|lj_fluid,
              <builder kwargs — incl. nevery-style lambda args, pK, pH, T>}
   engine:   {dt, thermostat, T, gamma, tau, lambda_nevery,
-             lambda_thermostat, lambda_gamma, rebuild_every, force_cap}
+             lambda_thermostat, lambda_gamma, rebuild_every, force_cap,
+             kspace_every, kspace_live_box}
   bias:     {w, s, k, a, b, r, m, d, switch_slope}  (Donnini–Ullmann defaults)
   kspace:   {style: ewald|pme, alpha, accuracy, spacing, p}
             (factorized Ewald, or smooth PME on the tiled path —
@@ -19,7 +20,9 @@ Config keys (all optional beyond `system`):
   run:      {steps, minimize_steps, equilibrate_steps, tiled: bool,
              checkpoint: path, restart: path, observe_every,
              output: path.jsonl|path.csv,
-             trajectory: path.dcd, traj_every: N   (tiled path)}
+             trajectory: path.dcd, traj_every: N,   (tiled path)
+             pressure: atm, barostat_dlnv            (NpT; with kspace
+             requires style pme + engine.kspace_live_box: true)}
 """
 from __future__ import annotations
 
@@ -185,18 +188,23 @@ def cmd_run(args):
 
         pressure = run_cfg.get("pressure")
         if pressure is not None:
-            # NpT: MC barostat between chunks (tiled/npt.py); refused
-            # with kspace until the reciprocal params track the live box
-            if kspace_ep is not None:
+            # NpT: MC barostat between chunks (tiled/npt.py). Composes
+            # with kspace only as PME + engine.kspace_live_box (the
+            # influence function tracks the state box); baked-box Ewald
+            # params would go stale after volume moves — refuse early
+            # with a config-level hint (tiled/npt._check_npt_kspace is
+            # the authoritative guard).
+            if kspace_ep is not None and not ecfg.kspace_live_box:
                 raise ValueError(
-                    "run.pressure (NPT) cannot be combined with a kspace "
-                    "style yet: Ewald/PME params bake the box at build "
-                    "time (see tiled/npt.py)")
+                    "run.pressure (NPT) with a kspace style needs "
+                    '{"kspace": {"style": "pme", ...}, "engine": '
+                    '{"kspace_live_box": true}} — baked-box reciprocal '
+                    "params would be evaluated stale after volume moves")
             from constant_ph_tpu.tiled.npt import npt_elastic_run
 
             ts, tst, obs, info, npt_stats = npt_elastic_run(
                 ts, tst, ecfg, n_steps, pressure_atm=float(pressure),
-                chunk=chunk, bias=bias,
+                chunk=chunk, bias=bias, kspace_ep=kspace_ep,
                 max_dlnV=float(run_cfg.get("barostat_dlnv", 2e-3)),
                 on_chunk=on_chunk)
             vol = npt_stats["volume"]

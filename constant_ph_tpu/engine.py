@@ -82,6 +82,13 @@ class EngineConfig:
     # freeze λ at its current value (thermodynamic-integration windows for
     # ΔG_ref calibration sample dU/dλ at fixed λ)
     lambda_frozen: bool = struct.field(pytree_node=False, default=False)
+    # derive the PME influence function / spacing / volume from the LIVE
+    # state box each k-space evaluation (ops/pme.pme_influence) instead of
+    # the params' baked build-time box — required under an NPT barostat
+    # (tiled/npt.py); costs ~M³/2 elementwise exps per evaluation. PME +
+    # tiled engine only (factorized Ewald keeps the baked box: its
+    # structure-factor tables are box-shaped at build time).
+    kspace_live_box: bool = struct.field(pytree_node=False, default=False)
 
 
 @struct.dataclass
@@ -162,6 +169,10 @@ class Engine:
                 "kspace_every > 1 (k-space impulse MTS) is implemented in "
                 "TiledEngine only; the canonical Engine evaluates k-space "
                 "every step")
+        if config.kspace_live_box:
+            raise ValueError(
+                "kspace_live_box (NPT k-space) is implemented in "
+                "TiledEngine + PME only")
 
     # -- neighbor structure -------------------------------------------------
 

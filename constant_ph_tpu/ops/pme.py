@@ -52,6 +52,16 @@ class PMEParams:
     spacing: tuple = struct.field(pytree_node=False)
     Ahat: jax.Array      # (Mx, My, Mz//2+1) single-count influence incl |b|⁻²
     box: jax.Array       # (3,)
+    # live-box (NPT) support: everything box-dependent in Âhat factors into
+    # prefactor(V) · exp(−k²/4α²)/k² with k_d = 2π·n_d/L_d — given the
+    # box-INDEPENDENT pieces below (integer mesh frequencies + B-spline
+    # Euler factors), Âhat for the CURRENT box is cheap elementwise device
+    # math (the ROADMAP "NPT + k-space" extension point; ~M³/2 exp+div per
+    # k-space evaluation, negligible next to the FFT pair).
+    binv: jax.Array      # (Mx, My, Mz//2+1) 1/(|bx|²|by|²|bz|²)
+    nx: jax.Array        # (Mx,) integer FFT frequencies
+    ny: jax.Array        # (My,)
+    nzr: jax.Array       # (Mz//2+1,) rfft frequencies
 
 
 def _bspline_phi2(p: int, M: int) -> np.ndarray:
@@ -117,14 +127,43 @@ def make_pme_params(box, cell_grid, alpha: float, *, spacing: float = 0.9,
     bx = _bspline_phi2(p, M[0])
     by = _bspline_phi2(p, M[1])
     bz = _bspline_phi2(p, M[2])[: M[2] // 2 + 1]
-    A /= bx[:, None, None] * by[None, :, None] * bz[None, None, :]
+    binv = 1.0 / (bx[:, None, None] * by[None, :, None] * bz[None, None, :])
+    A *= binv
 
     return PMEParams(
         alpha=float(alpha), grid=g, m=m, p=int(p), h=h, mesh=M,
         volume=V, spacing=sp,
         Ahat=jnp.asarray(A, dtype=jnp.float32),
         box=jnp.asarray(box, dtype=dtype),
+        binv=jnp.asarray(binv, dtype=jnp.float32),
+        nx=jnp.asarray(np.rint(np.fft.fftfreq(M[0]) * M[0]),
+                       dtype=jnp.float32),
+        ny=jnp.asarray(np.rint(np.fft.fftfreq(M[1]) * M[1]),
+                       dtype=jnp.float32),
+        nzr=jnp.asarray(np.rint(np.fft.rfftfreq(M[2]) * M[2]),
+                        dtype=jnp.float32),
     )
+
+
+def pme_influence(pp: PMEParams, box):
+    """Âhat, mesh spacing, and volume derived from the LIVE box (device
+    math, jit-safe) — the NPT path. The mesh SHAPE (grid, m, p, h) stays
+    the build-time one: h was sized with `slack` margin, and NPT drivers
+    cap box drift at a few percent (tiled/npt.py max_box_drift), so the
+    B-spline support stays covered."""
+    box = jnp.asarray(box)
+    V = box[0] * box[1] * box[2]
+    kx = (2.0 * jnp.pi) * pp.nx / box[0]
+    ky = (2.0 * jnp.pi) * pp.ny / box[1]
+    kz = (2.0 * jnp.pi) * pp.nzr / box[2]
+    k2 = ((kx * kx)[:, None, None] + (ky * ky)[None, :, None]
+          + (kz * kz)[None, None, :])
+    A = jnp.where(k2 > 1e-12,
+                  jnp.exp(-k2 / (4.0 * pp.alpha * pp.alpha))
+                  / jnp.maximum(k2, 1e-12), 0.0)
+    A = A * (units.QQR2E * 2.0 * jnp.pi / V) * pp.binv
+    sp = tuple(box[d] / pp.mesh[d] for d in range(3))
+    return A.astype(pp.Ahat.dtype), sp, V
 
 
 def _mp_and_deriv(t, p: int):
@@ -210,19 +249,26 @@ def _solute_factors(s_mod, M, p, dtype):
 
 
 def pme_recip_tiled(wxg, wq, sx, qs, pp: PMEParams, *,
-                    need_water_phi: bool = False):
+                    need_water_phi: bool = False, box=None):
     """Reciprocal + self + background electrostatics on tiles + solute.
 
     wxg: (3, gx, gy, gz, A) water coords (box-wrapped; parked pads OK);
     wq:  (gx, gy, gz, A) water charges (0 on invalid slots);
     sx:  (Ns, 3) solute coords; qs: (Ns,) masked solute charges.
+    `box`: pass the LIVE box (e.g. under an NPT barostat) to derive the
+    influence function / spacing / volume from it on device; None uses the
+    params' baked build-time box (the zero-overhead NVT fast path).
     Returns (e, fw (3,gx,gy,gz,A), fs (Ns,3), phi_s (Ns,),
     phi_w (gx,gy,gz,A) or None)."""
     g, m, h, p = pp.grid, pp.m, pp.h, pp.p
     gx, gy, gz = g
     dtype = wq.dtype
     M = pp.mesh
-    sp = pp.spacing
+    if box is None:
+        sp, Ahat, volume, boxv = pp.spacing, pp.Ahat, pp.volume, pp.box
+    else:
+        Ahat, sp, volume = pme_influence(pp, box)
+        boxv = jnp.asarray(box)
 
     # ---- water spreading: per-cell extended blocks via factor matmuls ----
     Bd, dBd = [], []
@@ -247,7 +293,7 @@ def pme_recip_tiled(wxg, wq, sx, qs, pp: PMEParams, *,
     Ns = qs.shape[0]
     sb, sdb = [], []
     for d in range(3):
-        s_mod = jnp.mod(sx[:, d], pp.box[d]) / sp[d]
+        s_mod = jnp.mod(sx[:, d], boxv[d]) / sp[d]
         b, db = _solute_factors(s_mod, M[d], p, dtype)
         sb.append(b)
         sdb.append(db)
@@ -260,7 +306,7 @@ def pme_recip_tiled(wxg, wq, sx, qs, pp: PMEParams, *,
     Qhat = jnp.fft.rfftn(Q.astype(jnp.float32))
     n_mesh = M[0] * M[1] * M[2]
     phi_mesh = (2.0 * n_mesh) * jnp.fft.irfftn(
-        pp.Ahat * Qhat, s=M).astype(dtype)
+        Ahat * Qhat, s=M).astype(dtype)
     e_rec = 0.5 * jnp.sum(Q * phi_mesh)
 
     # ---- interpolation: forces (+ φ where needed) ----
@@ -306,9 +352,9 @@ def pme_recip_tiled(wxg, wq, sx, qs, pp: PMEParams, *,
     qsum = jnp.sum(wq) + jnp.sum(qs)
     q2sum = jnp.sum(wq * wq) + jnp.sum(qs * qs)
     e_self = -C * pp.alpha / _SQRT_PI * q2sum
-    e_bg = -C * jnp.pi / (2.0 * pp.alpha**2 * pp.volume) * qsum * qsum
+    e_bg = -C * jnp.pi / (2.0 * pp.alpha**2 * volume) * qsum * qsum
     corr = (-2.0 * C * pp.alpha / _SQRT_PI,
-            -C * jnp.pi / (pp.alpha**2 * pp.volume) * qsum)
+            -C * jnp.pi / (pp.alpha**2 * volume) * qsum)
     phi_s = phi_s + corr[0] * qs + corr[1]
     if need_water_phi:
         phi_w = phi_w + corr[0] * wq + corr[1]

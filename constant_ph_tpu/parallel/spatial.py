@@ -61,4 +61,7 @@ def shard_tiled_state(tstate: TiledState, mesh: Mesh, params: TileParams,
         key=place(tstate.key, rep),
         nhc_xi=place(tstate.nhc_xi, rep),
         nhc_lam_xi=place(tstate.nhc_lam_xi, rep),
+        phi_recip_s=place(tstate.phi_recip_s, rep),
+        metad_v=place(tstate.metad_v, rep),
+        metad_dv=place(tstate.metad_dv, rep),
     )

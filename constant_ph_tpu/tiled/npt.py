@@ -19,11 +19,12 @@ Scheme (rigid molecules ⇒ molecular scaling):
     bonded + λ-site terms; dense cell tiles stay valid because atoms move
     ≤ (s−1)·cell ≈ 0.01 Å relative to their — equally scaled — cells).
 
-k-space runs are refused: EwaldParams/PMEParams bake the box into the
-reciprocal grid at build time (ops/ewald.py, ops/pme.py), so a volume
-move would silently use a stale influence function. This is the NVT-only
-guard the params comment promises; deriving Âhat from the live box is the
-documented extension point.
+k-space composes via PME + cfg.kspace_live_box=True: the influence
+function, mesh spacing, and volume are derived from the state box on
+device each evaluation (ops/pme.pme_influence), so scaled-configuration
+energies are exact under volume moves. Baked-box reciprocal params
+(factorized Ewald, or PME without the flag) are refused — they would
+silently evaluate with a stale influence function.
 """
 from __future__ import annotations
 
@@ -53,6 +54,21 @@ def _solute_groups(ts):
     return onehot, n_g
 
 
+def _check_npt_kspace(eng: TiledEngine) -> None:
+    """Volume moves require box-consistent reciprocal energies: PME with
+    cfg.kspace_live_box derives Âhat/spacing/volume from the state box on
+    device (ops/pme.pme_influence), so U(s·x, s·box) is exact. Baked-box
+    k-space params would silently evaluate the scaled configuration with a
+    stale influence function — refuse."""
+    if eng.kspace_ep is None:
+        return
+    if not eng.cfg.kspace_live_box:
+        raise NotImplementedError(
+            "NPT with k-space needs cfg.kspace_live_box=True (PME params "
+            "re-derive the influence function from the live box); baked-box "
+            "reciprocal params would be evaluated stale after volume moves")
+
+
 def make_mc_barostat(eng: TiledEngine, *, pressure_atm: float,
                      T: float, max_dlnV: float = 2e-3):
     """Build a jittable MC volume move: (tst, key) -> (tst', accepted).
@@ -60,11 +76,7 @@ def make_mc_barostat(eng: TiledEngine, *, pressure_atm: float,
     `max_dlnV` is the half-width of the ln-V proposal; tune for ~40-60%
     acceptance (2e-3 ≈ ±0.07% in box length for liquid water boxes).
     """
-    if eng.kspace_ep is not None:
-        raise NotImplementedError(
-            "MC barostat with Ewald/PME: the reciprocal-space params bake "
-            "the box at build time (ops/pme.py PMEParams comment) — "
-            "re-derive Ahat from the live box before enabling NPT kspace")
+    _check_npt_kspace(eng)
     ts = eng.ts
     wm = ts.water
     W = ts.params.W
@@ -123,10 +135,7 @@ def make_pressure_fn(eng: TiledEngine, *, T: float, dlnV: float = 2e-4):
     uses (rigid bodies ⇒ molecular virial; intramolecular constraint
     forces do no P·V work). Costs two extra force evaluations — a
     diagnostic, not a hot-path term."""
-    if eng.kspace_ep is not None:
-        raise NotImplementedError(
-            "pressure with Ewald/PME needs box-dependent reciprocal "
-            "params (same extension point as the MC barostat)")
+    _check_npt_kspace(eng)
     ts = eng.ts
     wm = ts.water
     W = ts.params.W
@@ -165,7 +174,8 @@ def make_pressure_fn(eng: TiledEngine, *, T: float, dlnV: float = 2e-4):
 
 
 def npt_elastic_run(ts, tst, cfg, n_steps: int, *, pressure_atm: float,
-                    chunk: int = 2000, bias=None, margin_min: int = 6,
+                    chunk: int = 2000, bias=None, kspace_ep=None,
+                    margin_min: int = 6,
                     max_dlnV: float = 2e-3, seed: int = 0,
                     max_box_drift: float = 0.04,
                     on_chunk=None, device=None):
@@ -193,6 +203,8 @@ def npt_elastic_run(ts, tst, cfg, n_steps: int, *, pressure_atm: float,
 
     def build(ts_):
         kw = {"bias": bias} if bias is not None else {}
+        if kspace_ep is not None:
+            kw["kspace_ep"] = kspace_ep    # PME + cfg.kspace_live_box
         eng = TiledEngine(ts_, cfg, **kw)
         run = jax.jit(eng.make_run(chunk, detailed_flags=True))
         move = jax.jit(make_mc_barostat(

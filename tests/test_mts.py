@@ -128,3 +128,28 @@ def test_mts_stale_phi_lambda_force():
         np.abs(du3 - du1).max(), recip)
     # boundary rows are exact up to trajectory divergence
     assert np.abs(du3 - du1)[2::3].max() < 0.02 * recip + 0.05
+
+
+def test_mts_phi_carry_across_run_invocations():
+    """The k-space MTS carry lives in TiledState: two chained make_run
+    chunks whose boundary does NOT land on a kspace_every multiple must
+    reproduce one continuous run (regression: the carry used to re-init
+    to zeros per make_run invocation, dropping the reciprocal λ force
+    for up to k-1 steps at every elastic/NPT chunk start)."""
+    sys_, ts, tst, ep = _build()
+    cfg = EngineConfig(dt=0.5, thermostat="langevin", T=250.0, gamma=0.01,
+                       rebuild_every=2, kspace_every=4)
+    eng = TiledEngine(ts, cfg, kspace_ep=ep)
+
+    st_cont, _, obs_cont = jax.jit(eng.make_run(12))(tst)
+
+    run6 = jax.jit(eng.make_run(6))
+    st_a, _, obs_a = run6(tst)             # steps 0..5
+    assert float(jnp.abs(st_a.phi_recip_s).max()) > 0.0
+    st_b, _, obs_b = run6(st_a)            # starts at step 6 (6 % 4 != 0)
+    du_chunked = np.concatenate([np.asarray(obs_a.dUdlam),
+                                 np.asarray(obs_b.dUdlam)])
+    np.testing.assert_allclose(du_chunked, np.asarray(obs_cont.dUdlam),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(st_b.wx), np.asarray(st_cont.wx),
+                               rtol=1e-6, atol=1e-5)

@@ -88,7 +88,8 @@ def test_npt_kspace_refused():
     cfg = EngineConfig(dt=1.0, rebuild_every=10)
     ep = make_ewald_params(np.asarray(sys_.state.box), 0.35, accuracy=1e-4)
     eng = TiledEngine(ts, cfg, kspace_ep=ep)
-    with pytest.raises(NotImplementedError, match="barostat"):
+    # baked-box reciprocal params (no kspace_live_box) must be refused
+    with pytest.raises(NotImplementedError, match="kspace_live_box"):
         make_mc_barostat(eng, pressure_atm=1.0, T=300.0)
 
 
@@ -152,3 +153,107 @@ def test_pressure_observable():
         box=tst_l.box * squeeze)
     p1 = float(p_fn_l(tst_sq))
     assert p1 > p0 + 100.0, (p0, p1)
+
+
+# ---------------------------------------------------------------------------
+# NPT + k-space: live-box PME (ops/pme.pme_influence)
+# ---------------------------------------------------------------------------
+
+def _build_kspace(n_side=5, seed=9):
+    sys_ = solvated_acid(
+        n_side=n_side, rigid_water=True, lambda_coupled=True,
+        cutoff=6.0, skin=1.5, coul_style="cut", alpha=0.35, seed=seed,
+        pH=5.0,
+    )
+    ts = split_system(sys_, skin=1.5)
+    tst = to_tiled(ts, sys_.state)
+    return sys_, ts, tst
+
+
+def test_pme_live_box_matches_rebuilt_params():
+    """Evaluating with params built at box0 + the LIVE box must equal
+    evaluating with params REBUILT at the scaled box (the ground truth a
+    volume move needs): energy, forces, and the λ-coupling φ."""
+    from constant_ph_tpu.ops.pme import make_pme_params
+
+    sys_, ts, tst = _build_kspace()
+    box0 = np.asarray(sys_.state.box, np.float64)
+    pp0 = make_pme_params(box0, ts.params.grid, 0.35, spacing=1.0, p=6)
+    s = 1.015
+    dt32 = tst.wx.dtype
+    tst_s = tst.replace(wx=(tst.wx * s).astype(dt32),
+                        sx=(tst.sx * s).astype(dt32),
+                        box=(tst.box * s).astype(tst.box.dtype))
+
+    cfg = EngineConfig(dt=1.0, thermostat="nve", lambda_thermostat="none",
+                       kspace_live_box=True)
+    eng_live = TiledEngine(ts, cfg, kspace_ep=pp0)
+    f_live = eng_live.compute_forces(tst_s)
+
+    # scale the target spacing with the box so the rebuilt params use the
+    # SAME mesh shape (what the live path does: fixed mesh, scaled spacing)
+    pp1 = make_pme_params(box0 * s, ts.params.grid, 0.35, spacing=1.0 * s,
+                          p=6)
+    assert pp1.mesh == pp0.mesh, "mesh changed; pick a smaller scale"
+    cfg0 = EngineConfig(dt=1.0, thermostat="nve", lambda_thermostat="none")
+    eng_ref = TiledEngine(ts, cfg0, kspace_ep=pp1)
+    f_ref = eng_ref.compute_forces(tst_s)
+
+    np.testing.assert_allclose(float(f_live.e_kspace),
+                               float(f_ref.e_kspace), rtol=1e-5, atol=1e-3)
+    scale = float(jnp.abs(f_ref.fw).max())
+    vm = jnp.repeat(tst.wvalid, 3, axis=-1).reshape(1, -1)
+    np.testing.assert_allclose(
+        np.asarray(f_live.fw).reshape(3, -1) * np.asarray(vm) / scale,
+        np.asarray(f_ref.fw).reshape(3, -1) * np.asarray(vm) / scale,
+        atol=1e-5)
+    np.testing.assert_allclose(np.asarray(f_live.fs), np.asarray(f_ref.fs),
+                               atol=1e-5 * scale)
+    np.testing.assert_allclose(np.asarray(f_live.dUdlam),
+                               np.asarray(f_ref.dUdlam), rtol=1e-4,
+                               atol=1e-3)
+    # and the live path at the BUILD box reproduces the baked fast path
+    f_b = eng_live.compute_forces(tst)
+    f_a = eng_ref_base = TiledEngine(ts, cfg0, kspace_ep=pp0).compute_forces(
+        tst)
+    np.testing.assert_allclose(float(f_b.e_kspace), float(f_a.e_kspace),
+                               rtol=1e-5, atol=1e-3)
+
+
+def test_npt_with_pme_live_box():
+    """MC volume moves compose with PME when kspace_live_box is on; the
+    baked-box configurations are refused."""
+    from constant_ph_tpu.ops.pme import make_pme_params
+
+    sys_, ts, tst = _build_kspace()
+    box0 = np.asarray(sys_.state.box, np.float64)
+    pp = make_pme_params(box0, ts.params.grid, 0.35, spacing=1.0, p=6)
+
+    # refusals: PME without the flag; Ewald with the flag
+    eng_frozen = TiledEngine(
+        ts, EngineConfig(thermostat="langevin", rebuild_every=10),
+        kspace_ep=pp)
+    with pytest.raises(NotImplementedError, match="kspace_live_box"):
+        make_mc_barostat(eng_frozen, pressure_atm=1.0, T=300.0)
+    ep = make_ewald_params(box0, 0.35, accuracy=1e-5)
+    with pytest.raises(ValueError, match="requires PME"):
+        TiledEngine(ts, EngineConfig(kspace_live_box=True), kspace_ep=ep)
+    with pytest.raises(ValueError, match="TiledEngine"):
+        sys_.make_engine(EngineConfig(kspace_live_box=True))
+
+    cfg = EngineConfig(dt=1.0, thermostat="langevin", rebuild_every=10,
+                       kspace_live_box=True)
+    eng = TiledEngine(ts, cfg, kspace_ep=pp)
+    d0 = _oh_distances(ts, tst)
+    move = jax.jit(make_mc_barostat(eng, pressure_atm=1.0, T=300.0,
+                                    max_dlnV=0.02))
+    cur, accepted_once = tst, False
+    for s in range(6):
+        cur, acc = move(cur, jax.random.PRNGKey(100 + s))
+        accepted_once = accepted_once or bool(acc)
+    assert accepted_once
+    assert not np.allclose(np.asarray(cur.box), np.asarray(tst.box))
+    np.testing.assert_allclose(_oh_distances(ts, cur), d0, atol=2e-4)
+    # energies stay finite and box-consistent through the engine
+    f = eng.compute_forces(cur)
+    assert np.isfinite(float(f.e_pot))

@@ -1,0 +1,135 @@
+"""Well-tempered metadynamics on the λ coordinates (enhanced sampling).
+
+Why this exists: at full Δq coupling, λ barrier crossings at HEWL scale
+are Marcus-limited by solvent reorganization — flip times reach 10-100 ps
+near pH = pK, so plain λ-dynamics / pH-REX titration curves need O(10)
+chip-hours per point to converge (measured round 2,
+examples/results/titration_rex_multisite_fullq_v5e.json: per-class
+midpoints exact, near-pK rungs metastable). A history-dependent bias on λ
+actively drives crossings AND yields the per-site deprotonation free
+energy directly from the deposited bias, replacing slow flip-counting
+statistics with a free-energy estimator.
+
+Scheme (per titratable site s, independent 1-D well-tempered hills — the
+standard treatment when biasing many weakly-coupled CVs; inter-site
+coupling still enters through the physical dynamics):
+
+  V_s(λ) ← V_s(λ) + h0·exp(−V_s(λ_s)/((γ−1)kT)) · exp(−(λ−λ_s)²/2σ²)
+  F_s(λ) = −γ/(γ−1) · V_s(λ)            (well-tempered estimator)
+  x_deprot(s) = ∫_{λ>1/2} e^{−βF_s} / ∫ e^{−βF_s}
+
+The bias rides on a fixed λ grid as (V, dV/dλ) value tables — both are
+updated ANALYTICALLY on deposit (the hill and its derivative are closed
+forms), so the in-step bias force is a smooth linear interpolation, all
+fixed-shape device math (no data-dependent shapes; deposits happen at
+scan-block boundaries inside jit).
+
+Everything here extends the reference's physics scope: the reference fix
+integrates plain λ-dynamics only (fix_constant_pH.cpp:109-117); enhanced
+λ sampling is the capability its titration purpose (fix_constant_pH.cpp:111)
+needs at production scale.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from constant_ph_tpu import units
+
+
+@struct.dataclass
+class MetadParams:
+    """Static metadynamics configuration (compiled into the step)."""
+
+    lo: float = struct.field(pytree_node=False, default=-0.1)
+    hi: float = struct.field(pytree_node=False, default=1.1)
+    nbins: int = struct.field(pytree_node=False, default=121)
+    sigma: float = struct.field(pytree_node=False, default=0.05)
+    # initial hill height (kcal/mol); the WT factor damps it as V grows
+    h0: float = struct.field(pytree_node=False, default=0.1)
+    # well-tempered bias factor γ > 1: V converges to (1−1/γ)·F, hills
+    # decay as exp(−V/((γ−1)kT)); γ→∞ recovers standard metadynamics
+    gamma: float = struct.field(pytree_node=False, default=8.0)
+    T: float = struct.field(pytree_node=False, default=300.0)
+    # deposit one hill whenever an engine block boundary crosses a
+    # multiple of this many MD steps (pace τ = stride·dt). The pace must
+    # stay SLOW vs the λ relaxation time (λ period ≈ 20 fs for m_λ=20 in
+    # the Donnini wells): measured on the default landscape, a hill per
+    # 5 fs left walker-to-walker basin-ΔF scatter of several kT, a hill
+    # per 50 fs converges to ≲0.5 kT (tests/test_metad.py)
+    stride: int = struct.field(pytree_node=False, default=100)
+
+    @property
+    def dx(self) -> float:
+        return (self.hi - self.lo) / (self.nbins - 1)
+
+    def grid(self):
+        return jnp.linspace(self.lo, self.hi, self.nbins)
+
+
+def init_tables(n_sites: int, p: MetadParams, dtype=jnp.float32):
+    """Zeroed (V, dV) bias tables, shape (S, nbins) each."""
+    z = jnp.zeros((n_sites, p.nbins), dtype=dtype)
+    return z, z
+
+
+def lookup(V, dV, lam, p: MetadParams):
+    """Linear-interpolated (V_s(λ_s), dV_s/dλ(λ_s)) per site.
+
+    λ outside [lo, hi] clamps to the edge value with zero slope — the
+    Donnini erf walls (lambda_dyn.bias U4/U5) plus the reflective
+    backstops keep λ inside the grid in practice."""
+    u = (lam - p.lo) / p.dx
+    i0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, p.nbins - 2)
+    f = jnp.clip(u - i0.astype(lam.dtype), 0.0, 1.0)
+    take = lambda A, i: jnp.take_along_axis(A, i[:, None], axis=1)[:, 0]
+    v = take(V, i0) * (1.0 - f) + take(V, i0 + 1) * f
+    dv = take(dV, i0) * (1.0 - f) + take(dV, i0 + 1) * f
+    return v, dv
+
+
+def deposit(V, dV, lam, p: MetadParams):
+    """One well-tempered hill per site at its current λ (analytic V and
+    dV/dλ updates — keeps the force table exactly the derivative of the
+    energy table, so the in-step bias force is conservative between
+    deposits)."""
+    kT = units.BOLTZ * p.T
+    v_at, _ = lookup(V, dV, lam, p)
+    h = p.h0 * jnp.exp(-v_at / ((p.gamma - 1.0) * kT))       # (S,)
+    x = p.grid()[None, :] - lam[:, None]                     # (S, B)
+    g = jnp.exp(-(x * x) / (2.0 * p.sigma * p.sigma))
+    return (V + h[:, None] * g,
+            dV + h[:, None] * (-x / (p.sigma * p.sigma)) * g)
+
+
+def free_energy(V, p: MetadParams):
+    """Well-tempered free-energy estimate F_s(λ) = −γ/(γ−1)·V_s(λ),
+    shifted so min F = 0 per site."""
+    F = -(p.gamma / (p.gamma - 1.0)) * V
+    return F - jnp.min(F, axis=1, keepdims=True)
+
+
+def deprotonated_fraction(V, p: MetadParams):
+    """Per-site ⟨deprotonated⟩ from the bias profile: basin-integrated
+    Boltzmann weights of F_s(λ) split at λ = 1/2 (trapezoid on the grid).
+    This is the metadynamics titration estimator — it needs converged V,
+    not converged barrier-crossing statistics."""
+    kT = units.BOLTZ * p.T
+    F = free_energy(V, p)
+    w = jnp.exp(-F / kT)
+    # trapezoid weights (uniform grid): half at the ends
+    tw = jnp.ones((p.nbins,), V.dtype).at[0].set(0.5).at[-1].set(0.5)
+    m_dep = (p.grid() > 0.5).astype(V.dtype)
+    num = jnp.sum(w * tw[None, :] * m_dep[None, :], axis=1)
+    den = jnp.sum(w * tw[None, :], axis=1)
+    return num / den
+
+
+def delta_f_sites(V, p: MetadParams):
+    """Per-site deprotonation free energy ΔF_s = −kT·ln(x/(1−x)) from the
+    basin populations (kcal/mol; negative ⇒ deprotonated favored)."""
+    kT = units.BOLTZ * p.T
+    x = deprotonated_fraction(V, p)
+    x = jnp.clip(x, 1e-12, 1.0 - 1e-12)
+    return -kT * jnp.log(x / (1.0 - x))

@@ -66,11 +66,23 @@ class TiledEngine:
         bias: BiasParams = BiasParams(),
         kspace_ep: Optional[EwaldParams] = None,
         use_pallas_ww: bool = False,
+        metad=None,
+        metad_frozen: bool = False,
     ):
         self.ts = tsys
         self.cfg = config
         self.bias = bias
         self.kspace_ep = kspace_ep
+        # metadynamics λ bias (constant_ph_tpu/metad.py): `metad` is a
+        # MetadParams; states must carry matching (S, nbins) tables
+        # (metad.init_tables → TiledState.metad_v/metad_dv). With
+        # `metad_frozen` the bias acts as a static potential (production
+        # re-sampling on a converged landscape); otherwise make_run
+        # deposits hills at block boundaries (burn-in / F(λ) estimation).
+        self.metad = metad
+        self.metad_frozen = metad_frozen
+        if metad is not None and tsys.spec is None:
+            raise ValueError("metadynamics needs titratable sites")
         # use_pallas_ww: False = XLA hot path; True = the full-tally Pallas
         # oracle kernel; "fast" = the like-for-like Pallas hot-path kernel
         # (tiled/pallas_ww.water_water_pallas_fast)
@@ -99,6 +111,12 @@ class TiledEngine:
                 wm, self.n_waters, kspace_ep.alpha)
         if config.kspace_every < 1:
             raise ValueError("kspace_every must be >= 1")
+        if (config.kspace_live_box and kspace_ep is not None
+                and not isinstance(kspace_ep, PMEParams)):
+            raise ValueError(
+                "kspace_live_box requires PME: the factorized-Ewald params "
+                "bake box-shaped structure-factor tables at build time "
+                "(ops/ewald.py); use make_pme_params for NPT k-space")
 
     # -- forces ---------------------------------------------------------------
 
@@ -214,7 +232,8 @@ class TiledEngine:
             def _pme(_):
                 ek, fwk, fsk, phi_sk, phi_wk = pme_recip_tiled(
                     wxg, wqg, st.sx, qs * ts.solute.smask, self.kspace_ep,
-                    need_water_phi=need_tally)
+                    need_water_phi=need_tally,
+                    box=st.box if self.cfg.kspace_live_box else None)
                 if phi_wk is None:
                     phi_wk = jnp.zeros_like(wqg)
                 return (ek + self.e_corr, fwk.reshape(3, self.G, 3 * W),
@@ -283,6 +302,17 @@ class TiledEngine:
             f_lam, u_site = lambda_dyn.lambda_force(
                 st.lam, dUdlam, ts.spec, st.pH, self.cfg.T, self.bias)
             e_site = jnp.sum(u_site)
+            if self.metad is not None:
+                if st.metad_v.shape[0] != ts.spec.n_sites:
+                    raise ValueError(
+                        "state carries no metadynamics tables — init with "
+                        "metad.init_tables and tst.replace(metad_v=..., "
+                        "metad_dv=...)")
+                from constant_ph_tpu import metad as metad_mod
+                vb, dvb = metad_mod.lookup(
+                    st.metad_v, st.metad_dv, st.lam, self.metad)
+                f_lam = f_lam - dvb
+                e_site = e_site + jnp.sum(vb)
         else:
             dUdlam = jnp.zeros((0,), st.sx.dtype)
             f_lam = jnp.zeros((0,), st.sx.dtype)
@@ -609,11 +639,11 @@ class TiledEngine:
 
         def run(st: TiledState):
             def outer(carry, _):
-                st, ov_cap, ov_drift, phi_prev = carry
+                st, ov_cap, ov_drift = carry
                 st, ov = rebin(st, self.ts.params)
                 ov_cap = ov_cap | ov
                 frc = self.compute_forces(st, kspace_impulse=True,
-                                          phi_recip_prev=phi_prev)
+                                          phi_recip_prev=st.phi_recip_s)
                 wxO0 = st.wx[:, :, 0::3]
 
                 def inner(c, _):
@@ -628,13 +658,31 @@ class TiledEngine:
                 # true drift; parked rows don't move
                 dw2 = jnp.sum((st.wx[:, :, 0::3] - wxO0) ** 2, axis=0)
                 ov_drift = ov_drift | (jnp.max(dw2) > drift_budget ** 2)
-                return (st, ov_cap, ov_drift, frc.phi_recip_s), obs
+                # persist the k-space MTS carry in the state so the next
+                # make_run invocation (elastic/NPT chunks may not start on
+                # a kspace_every boundary) keeps the stale-φ λ coupling
+                # instead of silently dropping the reciprocal term
+                st = st.replace(phi_recip_s=frc.phi_recip_s)
+                if self.metad is not None and not self.metad_frozen:
+                    from constant_ph_tpu import metad as metad_mod
 
-            qs0 = self.charges_solute(st.lam)
-            (st, ov_cap, ov_drift, _), obs = jax.lax.scan(
+                    # deposit one hill when this block crossed a stride
+                    # boundary (block start step ≡ st.step − block after
+                    # the inner scan); stride < block degrades gracefully
+                    # to one hill per block
+                    stride = self.metad.stride
+                    mv, mdv = jax.lax.cond(
+                        (st.step - block) % stride < block,
+                        lambda vs: metad_mod.deposit(
+                            vs[0], vs[1], st.lam, self.metad),
+                        lambda vs: vs,
+                        (st.metad_v, st.metad_dv))
+                    st = st.replace(metad_v=mv, metad_dv=mdv)
+                return (st, ov_cap, ov_drift), obs
+
+            (st, ov_cap, ov_drift), obs = jax.lax.scan(
                 outer,
-                (st, jnp.array(False), jnp.array(False),
-                 jnp.zeros_like(qs0)),
+                (st, jnp.array(False), jnp.array(False)),
                 None, length=n_blocks)
             obs = jax.tree.map(
                 lambda a: a.reshape((n_blocks * block,) + a.shape[2:]), obs)

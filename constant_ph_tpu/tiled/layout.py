@@ -64,6 +64,17 @@ class TiledState:
     key: jax.Array
     nhc_xi: jax.Array
     nhc_lam_xi: jax.Array
+    # (Ns,) last computed reciprocal-space per-solute-atom potential φ, the
+    # k-space MTS carry: persists across make_run invocations so λ forces
+    # keep the mollified stale-φ coupling even when a driver chunk does not
+    # start on a kspace_every boundary (zeros before the first k-space
+    # evaluation / when there is no k-space term)
+    phi_recip_s: jax.Array
+    # (S, nbins) metadynamics λ-bias tables — V and dV/dλ on the λ grid
+    # (constant_ph_tpu/metad.py); (0, 0) when metadynamics is off. Part of
+    # the dynamic state because the bias is history-dependent.
+    metad_v: jax.Array
+    metad_dv: jax.Array
 
 
 @struct.dataclass
@@ -395,6 +406,9 @@ def to_tiled(ts: TiledSystem, state: SystemState) -> TiledState:
         box=state.box, lam=state.lam, v_lam=state.v_lam, pH=state.pH,
         step=state.step, key=state.key, nhc_xi=state.nhc_xi,
         nhc_lam_xi=state.nhc_lam_xi,
+        phi_recip_s=jnp.zeros((Ns,), dtype=dtype),
+        metad_v=jnp.zeros((0, 0), dtype=dtype),
+        metad_dv=jnp.zeros((0, 0), dtype=dtype),
     )
 
 
@@ -472,7 +486,12 @@ def retile(ts: TiledSystem, tstate: TiledState, W: int):
     ts2.params = TileParams(
         grid=ts.params.grid, W=W, half_stencil=ts.params.half_stencil,
         cutoff=ts.params.cutoff, skin=ts.params.skin)
-    return ts2, to_tiled(ts2, state)
+    # retile only re-lays-out water tiles; the per-solute k-space MTS carry
+    # and the metadynamics λ-bias tables are layout-independent, so
+    # preserve them across the boundary
+    return ts2, to_tiled(ts2, state).replace(
+        phi_recip_s=tstate.phi_recip_s,
+        metad_v=tstate.metad_v, metad_dv=tstate.metad_dv)
 
 
 def retile_auto(ts: TiledSystem, tstate: TiledState, occ: int,

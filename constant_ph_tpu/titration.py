@@ -119,7 +119,76 @@ def calibrate_dG_ref(
 
 
 def apply_dG_ref(spec, dG_ref):
-    """Return a LambdaSpec with per-site ΔG_ref installed."""
+    """Return a LambdaSpec with per-site ΔG_ref installed (scalar
+    broadcasts; a length-S array sets sites individually)."""
     val = jnp.broadcast_to(
         jnp.asarray(dG_ref, dtype=spec.dG_ref.dtype), spec.dG_ref.shape)
     return spec.replace(dG_ref=val)
+
+
+def calibrate_dG_ref_metad(
+    tsys,
+    tstate,
+    cfg,
+    *,
+    bias=None,
+    kspace_ep=None,
+    metad_params=None,
+    n_steps: int = 60_000,
+    chunk: int | None = None,
+    tail_frac: float = 0.5,
+):
+    """PER-SITE ΔG_ref from ONE well-tempered λ-metadynamics run.
+
+    TI (calibrate_dG_ref_tiled) integrates ⟨dU/dλ⟩ over frozen-λ windows
+    of a single site and the result is shared across sites. Metadynamics
+    measures every site's basin free-energy difference ΔF_s in the same
+    run: at the state's pH, Henderson–Hasselbalch requires
+    ΔF_s = kT·ln10·(pK_s − pH), so the calibrated correction is
+
+        ΔG_ref_s ← ΔG_ref_s(current) + (ΔF_s(measured) − ΔF_s(wanted))
+
+    (measured with the CURRENT spec.dG_ref installed — the update is a
+    fixed-point correction and can be iterated). Returns the (S,) array
+    of calibrated ΔG_ref values; install with apply_dG_ref.
+
+    The estimator is the tail-time-average of metad.delta_f_sites over
+    the last `tail_frac` of the run (single-snapshot estimates fluctuate
+    with the most recent hill flux — see tests/test_metad.py).
+
+    Accuracy: ~0.3-0.5 kcal/mol (≈0.3 pH units) at the default protocol
+    length (measured on the uncoupled-site fixed point, where the exact
+    answer is 0) — the residual is the well-tempered transient from
+    over-filling the starting basin and decays with run length. Use TI
+    (calibrate_dG_ref_tiled) when sub-0.1-kcal absolute calibration of a
+    single reference site is needed; use this to measure per-site
+    SPREADS around it in one run, or iterate the fixed point."""
+    from constant_ph_tpu import metad as metad_mod
+    from constant_ph_tpu import units
+    from constant_ph_tpu.lambda_dyn import BiasParams
+    from constant_ph_tpu.tiled.engine import TiledEngine
+
+    if bias is None:
+        bias = BiasParams()
+    mp = metad_params or metad_mod.MetadParams(
+        nbins=241, sigma=0.02, h0=0.25, gamma=15.0,
+        stride=max(1, int(round(50.0 / cfg.dt))))
+    S = tsys.spec.n_sites
+    V0, dV0 = metad_mod.init_tables(S, mp)
+    st = tstate.replace(metad_v=V0, metad_dv=dV0,
+                        v_lam=jnp.zeros_like(tstate.v_lam))
+    eng = TiledEngine(tsys, cfg, bias=bias, kspace_ep=kspace_ep, metad=mp)
+    if chunk is None:
+        chunk = 50 * cfg.rebuild_every
+    run = jax.jit(eng.make_run(chunk))
+    n_chunks = max(1, n_steps // chunk)
+    dfs = []
+    for _ in range(n_chunks):
+        st, _, _ = run(st)
+        dfs.append(np.asarray(metad_mod.delta_f_sites(st.metad_v, mp)))
+    tail = max(1, int(round(tail_frac * len(dfs))))
+    df_meas = np.mean(np.stack(dfs[-tail:]), axis=0)              # (S,)
+    kT = units.BOLTZ * cfg.T
+    pH = float(np.asarray(tstate.pH))
+    df_want = kT * units.LN10 * (np.asarray(tsys.spec.pK) - pH)
+    return np.asarray(tsys.spec.dG_ref) + (df_meas - df_want)

@@ -17,6 +17,8 @@ Config keys (all optional beyond `system`):
   kspace:   {style: ewald|pme, alpha, accuracy, spacing, p}
             (factorized Ewald, or smooth PME on the tiled path —
              spacing/p defaults per examples/probe_pme_params.py)
+  metad:    {nbins, sigma, h0, gamma, stride}   (λ-metadynamics for
+            `titrate --method metad` / `calibrate --method metad`)
   run:      {steps, minimize_steps, equilibrate_steps, tiled: bool,
              checkpoint: path, restart: path, observe_every,
              output: path.jsonl|path.csv,
@@ -271,10 +273,13 @@ def cmd_run(args):
 
 
 def cmd_titrate(args):
-    """pH sweep via replica exchange on whatever devices are available."""
+    """pH sweep: replica exchange (default) or λ-metadynamics walkers."""
     import jax
     import jax.numpy as jnp
     import numpy as np
+
+    if getattr(args, "method", "rex") == "metad":
+        return _titrate_metad(args)
 
     cfg = _load_config(args.config)
     pHs = [float(p) for p in args.ph.split(",")]
@@ -322,8 +327,79 @@ def cmd_titrate(args):
     print(json.dumps(out))
 
 
+def _titrate_metad(args):
+    """One well-tempered λ-metadynamics walker per pH (vmapped), full-Δq
+    capable: the converged bias profile yields per-site deprotonated
+    fractions without barrier-crossing statistics (metad.py; the heavy
+    production driver is examples/titration_metad_multisite.py)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    cfg = _load_config(args.config)
+    pHs = [float(p) for p in args.ph.split(",")]
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        system = _build_system(dict(cfg["system"]))
+        ecfg, bias, kspace_ep = _make_engines(cfg, system)
+
+    from constant_ph_tpu import metad
+    from constant_ph_tpu.observables import hh_curve
+    from constant_ph_tpu.parallel.replica import stack_replicas
+    from constant_ph_tpu.tiled.engine import TiledEngine
+    from constant_ph_tpu.tiled.layout import split_system, to_tiled
+
+    with jax.default_device(cpu):
+        ts = split_system(system)
+        tst = to_tiled(ts, system.state)
+    tst = jax.device_put(tst, jax.devices()[0])
+    kspace_ep = _resolve_kspace(kspace_ep, system.state.box, ts)
+    mp = metad.MetadParams(
+        stride=max(1, int(round(50.0 / ecfg.dt))),
+        **cfg.get("metad", {}))
+    eng = TiledEngine(ts, ecfg, bias=bias, kspace_ep=kspace_ep, metad=mp)
+    S = ts.spec.n_sites
+    V0, dV0 = metad.init_tables(S, mp)
+    # install (zero) tables BEFORE the first force evaluation — the metad
+    # engine requires the state to carry matching-shape tables
+    tst = tst.replace(metad_v=V0, metad_dv=dV0)
+    tst, _ = jax.jit(eng.make_minimize(
+        int(cfg.get("run", {}).get("minimize_steps", 200))))(tst)
+    reps = [tst.replace(pH=jnp.asarray(p, tst.pH.dtype),
+                        metad_v=V0, metad_dv=dV0,
+                        key=jax.random.PRNGKey(100 + i))
+            for i, p in enumerate(pHs)]
+    batch = stack_replicas(reps)
+
+    n_steps = int(cfg.get("run", {}).get("steps", 20_000))
+    chunk = 50 * ecfg.rebuild_every
+    n_chunks = max(1, n_steps // chunk)
+    runv = jax.jit(jax.vmap(eng.make_run(chunk)))
+    frac_sum = np.zeros((len(pHs), S))
+    n_tail = 0
+    for c in range(n_chunks):
+        batch, ov, _ = runv(batch)
+        if c >= n_chunks // 2:              # tail-time-averaged estimator
+            fr = metad.deprotonated_fraction(
+                batch.metad_v.reshape(len(pHs) * S, mp.nbins), mp)
+            frac_sum += np.asarray(fr).reshape(len(pHs), S)
+            n_tail += 1
+    frac = frac_sum / max(n_tail, 1)
+    out = {
+        "method": "metad",
+        "pH": pHs,
+        "deprotonated_fraction": frac[:, 0].tolist(),
+        "per_site": frac.tolist(),
+        "hh_reference": hh_curve(
+            float(np.asarray(system.spec.pK)[0]), np.asarray(pHs)).tolist(),
+        "steps": n_chunks * chunk,
+    }
+    print(json.dumps(out))
+
+
 def cmd_calibrate(args):
-    """ΔG_ref thermodynamic-integration calibration for site 0."""
+    """ΔG_ref calibration: TI over frozen-λ windows for site 0 (default),
+    or per-site λ-metadynamics (--method metad)."""
     import jax
 
     cfg = _load_config(args.config)
@@ -344,6 +420,13 @@ def cmd_calibrate(args):
     eng = TiledEngine(ts, ecfg, bias=bias, kspace_ep=kspace_ep)
     tst, _ = jax.jit(eng.make_minimize(300))(tst)
     tst, _, _ = eng.run(tst, int(args.equil))
+    if getattr(args, "method", "ti") == "metad":
+        dg = titration.calibrate_dG_ref_metad(
+            ts, tst, ecfg, bias=bias, kspace_ep=kspace_ep,
+            n_steps=int(args.samples))
+        print(json.dumps({"dG_ref_per_site": [float(d) for d in dg],
+                          "method": "metad"}))
+        return
     dG, (nodes, prof) = titration.calibrate_dG_ref_tiled(
         ts, tst, ecfg, bias=bias, kspace_ep=kspace_ep,
         equil_steps=int(args.window_equil), sample_steps=int(args.samples),
@@ -361,16 +444,20 @@ def main(argv=None):
     p_run = sub.add_parser("run", help="run an MD simulation from a config")
     p_run.add_argument("config")
     p_run.set_defaults(fn=cmd_run)
-    p_t = sub.add_parser("titrate", help="pH replica-exchange titration sweep")
+    p_t = sub.add_parser("titrate", help="pH titration sweep")
     p_t.add_argument("config")
     p_t.add_argument("--ph", required=True, help="comma-separated pH values")
+    p_t.add_argument("--method", choices=["rex", "metad"], default="rex",
+                     help="replica exchange (canonical engine) or "
+                          "λ-metadynamics walkers (tiled engine, full-Δq)")
     p_t.set_defaults(fn=cmd_titrate)
     p_c = sub.add_parser("calibrate",
-                         help="TI calibration of dG_ref for site 0")
+                         help="dG_ref calibration (TI site 0 / metad all)")
     p_c.add_argument("config")
     p_c.add_argument("--equil", default=2000)
     p_c.add_argument("--window-equil", default=1000)
     p_c.add_argument("--samples", default=5000)
+    p_c.add_argument("--method", choices=["ti", "metad"], default="ti")
     p_c.set_defaults(fn=cmd_calibrate)
     args = ap.parse_args(argv)
     args.fn(args)

@@ -99,3 +99,28 @@ def test_cli_titrate(tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["pH"] == [4.0, 5.0]
     assert len(out["deprotonated_fraction"]) == 2
+
+
+def test_cli_titrate_metad(tmp_path, capsys):
+    """--method metad: vmapped λ-metadynamics walkers through the tiled
+    engine; smoke-level (estimator convergence is tests/test_metad.py's
+    job) — shapes, finiteness, and per-site output."""
+    p = _write_cfg(tmp_path, True)
+    cfg = json.load(open(p))
+    cfg["run"]["steps"] = 300
+    cfg["metad"] = {"nbins": 61, "sigma": 0.05, "h0": 0.5, "gamma": 8.0}
+    json.dump(cfg, open(p, "w"))
+    main(["titrate", p, "--ph", "3.0,6.0", "--method", "metad"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["method"] == "metad"
+    assert len(out["per_site"]) == 2
+    assert np.isfinite(np.asarray(out["per_site"])).all()
+
+
+def test_cli_calibrate_metad(tmp_path, capsys):
+    p = _write_cfg(tmp_path, True)
+    main(["calibrate", p, "--equil", "20", "--samples", "400",
+          "--method", "metad"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["method"] == "metad"
+    assert np.isfinite(np.asarray(out["dG_ref_per_site"])).all()

@@ -103,6 +103,24 @@ def deposit(V, dV, lam, p: MetadParams):
             dV + h[:, None] * (-x / (p.sigma * p.sigma)) * g)
 
 
+def deposit_many(V, dV, lam_seq, p: MetadParams):
+    """Deposit a time-ordered SEQUENCE of hills (K, S) into shared tables.
+
+    Multiple-walkers metadynamics: walkers sampling the same ensemble
+    share one bias; each contributes hills at its own λ. The standard
+    delayed-bias scheme runs walkers against a bias frozen for a chunk,
+    then merges every walker's hill sequence — this is that merge, with
+    the well-tempered height of each hill computed against the
+    PROGRESSIVELY updated table (exactly what in-run deposits would do,
+    up to the intra-chunk lag). jit/scan-based, fixed shapes."""
+
+    def body(tabs, lam):
+        return deposit(tabs[0], tabs[1], lam, p), None
+
+    (V, dV), _ = jax.lax.scan(body, (V, dV), lam_seq)
+    return V, dV
+
+
 def free_energy(V, p: MetadParams):
     """Well-tempered free-energy estimate F_s(λ) = −γ/(γ−1)·V_s(λ),
     shifted so min F = 0 per site."""

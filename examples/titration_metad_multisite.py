@@ -56,7 +56,11 @@ def load_ckpt(path, template_batch):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--replicas", type=int, default=9,
-                    help="pH rungs (one metadynamics walker each)")
+                    help="pH rungs (bias-sharing walker groups)")
+    ap.add_argument("--walkers-per-ph", type=int, default=1,
+                    help=">1 enables multiple-walkers metadynamics: "
+                         "same-pH walkers share one bias table (hills "
+                         "merged per chunk, delayed-bias scheme)")
     ap.add_argument("--ph-min", type=float, default=3.0)
     ap.add_argument("--ph-max", type=float, default=7.0)
     ap.add_argument("--chunks", type=int, default=200)
@@ -152,22 +156,37 @@ def main():
         log(f"TI dG_ref = {dG:.3f} kcal/mol ({time.time()-t0:.0f}s)")
 
     # ---- one metadynamics walker per pH rung ----
-    R = args.replicas
-    pHs = np.linspace(args.ph_min, args.ph_max, R)
+    G = args.replicas                     # pH rungs (bias-sharing groups)
+    wpp = args.walkers_per_ph
+    R = G * wpp
+    pHs = np.linspace(args.ph_min, args.ph_max, G)
     cfg = EngineConfig(dt=2.0, thermostat="langevin", T=300.0, gamma=0.002,
                        lambda_thermostat="langevin", lambda_gamma=0.05,
                        rebuild_every=12)
-    eng = TiledEngine(ts, cfg, bias=bias, metad=mp)
+    # wpp > 1: multiple-walkers metadynamics — same-pH walkers run against
+    # a bias FROZEN for the chunk, then their hill sequences merge into
+    # the shared table (metad.deposit_many, the delayed-bias scheme);
+    # wpp == 1: hills deposit in-run at block boundaries.
+    eng = TiledEngine(ts, cfg, bias=bias, metad=mp, metad_frozen=(wpp > 1))
+    if wpp > 1 and args.steps_per_chunk > 4 * args.stride:
+        # long frozen-bias chunks dump correlated hill bursts at the merge
+        # and overshoot (measured: 20 hills/walker/merge biased the basin
+        # fraction by +0.15; ≤4 converges — tests/test_metad.py)
+        log(f"WARNING: steps-per-chunk {args.steps_per_chunk} > 4x stride "
+            f"{args.stride}; shared-walker merges will dump "
+            f"{args.steps_per_chunk // args.stride} hills/walker — use "
+            f"shorter chunks for wpp>1")
     V0, dV0 = metad.init_tables(S, mp)
     reps = []
-    for r in range(R):
-        lam0 = np.where(pks > pHs[r], 0.05, 0.95).astype(np.float32)
-        reps.append(tst.replace(
-            pH=jnp.asarray(pHs[r], tst.pH.dtype),
-            lam=jnp.asarray(lam0),
-            v_lam=jnp.zeros_like(tst.v_lam),
-            metad_v=V0, metad_dv=dV0,
-            key=jax.random.PRNGKey(2000 + r)))
+    for g in range(G):
+        lam0 = np.where(pks > pHs[g], 0.05, 0.95).astype(np.float32)
+        for w in range(wpp):
+            reps.append(tst.replace(
+                pH=jnp.asarray(pHs[g], tst.pH.dtype),
+                lam=jnp.asarray(lam0),
+                v_lam=jnp.zeros_like(tst.v_lam),
+                metad_v=V0, metad_dv=dV0,
+                key=jax.random.PRNGKey(2000 + g * 131 + w)))
     batch = stack_replicas(reps)
     chunks_done = 0
     if resume:
@@ -177,15 +196,33 @@ def main():
 
     runv = jax.jit(jax.vmap(eng.make_run(args.steps_per_chunk,
                                          detailed_flags=True)))
+    if wpp > 1:
+        dep_groups = jax.jit(jax.vmap(
+            lambda V, dV, seq: metad.deposit_many(V, dV, seq, mp)))
     n_overflow = 0
     for c in range(chunks_done, args.chunks):
         batch, (ov_cap, ov_drift), obs = runv(batch)
         n_overflow += int(np.asarray(ov_cap).sum())
+        if wpp > 1:
+            # merge this chunk's hills per pH group: sub-sample each
+            # walker's λ trace at the hill pace, interleave walkers
+            # time-major, sequential-deposit into the shared table
+            lam_tr = obs.lam[:, mp.stride - 1::mp.stride]   # (R, K, S)
+            K = lam_tr.shape[1]
+            seq = lam_tr.reshape(G, wpp, K, S).transpose(0, 2, 1, 3)
+            seq = seq.reshape(G, K * wpp, S)
+            Vg = batch.metad_v.reshape(G, wpp, S, mp.nbins)[:, 0]
+            dVg = batch.metad_dv.reshape(G, wpp, S, mp.nbins)[:, 0]
+            Vg, dVg = dep_groups(Vg, dVg, seq)
+            batch = batch.replace(
+                metad_v=jnp.repeat(Vg, wpp, axis=0),
+                metad_dv=jnp.repeat(dVg, wpp, axis=0))
         if (c + 1) % args.ckpt_every == 0 or c == args.chunks - 1:
             save_ckpt(args.ckpt, batch, c + 1, dG, ts.params.W)
         if (c + 1) % 5 == 0 or c == args.chunks - 1:
+            v_groups = batch.metad_v.reshape(G, wpp, S, mp.nbins)[:, 0]
             frac = np.asarray(metad.deprotonated_fraction(
-                batch.metad_v.reshape(R * S, mp.nbins), mp)).reshape(R, S)
+                v_groups.reshape(G * S, mp.nbins), mp)).reshape(G, S)
             out = _report(pks, pHs, frac, args, dG,
                           int(sys_.state.x.shape[0]), n_overflow,
                           time.time() - t0, c + 1, mp)
@@ -217,7 +254,8 @@ def _report(pks, pHs, frac, args, dG, n_atoms, n_overflow, wall, chunks, mp):
                    "landscape": "Donnini Table-S2 default"},
         "metad": {"h0": args.hill, "sigma": args.sigma,
                   "gamma": args.gamma, "stride": args.stride,
-                  "nbins": mp.nbins},
+                  "nbins": mp.nbins,
+                  "walkers_per_ph": args.walkers_per_ph},
         "dG_ref": dG, "replicas": len(pHs), "chunks_done": chunks,
         "steps_per_chunk": args.steps_per_chunk,
         "n_overflow_blocks": n_overflow, "wall_s": wall,

@@ -239,3 +239,84 @@ def test_metad_per_site_calibration_uncoupled():
         ts, tst, cfg, n_steps=40_000, chunk=500)
     assert dg.shape == (ts.spec.n_sites,)
     assert np.all(np.abs(dg) < 0.8), dg
+
+
+def test_deposit_many_equals_sequential_deposits():
+    """The multiple-walkers merge (deposit_many) must be EXACTLY the
+    sequential application of deposit() — same progressive WT heights."""
+    mp = metad.MetadParams(nbins=121, sigma=0.04, h0=0.4, gamma=6.0)
+    key = jax.random.PRNGKey(3)
+    lam_seq = jax.random.uniform(key, (12, 2), minval=0.0, maxval=1.0)
+    V1, dV1 = metad.init_tables(2, mp)
+    for k in range(12):
+        V1, dV1 = metad.deposit(V1, dV1, lam_seq[k], mp)
+    V2, dV2 = metad.deposit_many(*metad.init_tables(2, mp), lam_seq, mp)
+    # f32 accumulation-order noise between scan and eager: ~1e-5 relative
+    np.testing.assert_allclose(np.asarray(V2), np.asarray(V1), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(dV2), np.asarray(dV1), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_shared_walkers_estimator_matches_hh():
+    """Multiple-walkers with a SHARED (chunk-frozen, delayed) bias must
+    converge the same HH observable as in-run deposits: 4 walkers at
+    dpH=0 pooling hills into one table, chunked λ-only sampling."""
+    pK, dpH = 4.0, 0.0
+    mp = metad.MetadParams(nbins=241, sigma=0.02, h0=0.25, gamma=15.0,
+                           stride=100)
+    T, dt, gamma_l = 300.0, 0.5, 0.05
+    p = BiasParams()
+    spec = lambda_dyn.make_single_site([0], [0.0], [0.0], pK=pK)
+    m = spec.m_lambda
+    inv_m = units.FTM2V / m
+    c1 = jnp.exp(-gamma_l * dt)
+    c2 = jnp.sqrt((1.0 - c1 * c1) * units.BOLTZ * T / (m * units.MVV2E))
+    pH = jnp.array(pK + dpH)
+    W = 4
+
+    @jax.jit
+    def chunk(lam, v, keys, V, dV):
+        # one frozen-bias chunk per walker (vmapped), returns λ trace
+        def one(lam_w, v_w, keys_w):
+            def step(carry, k):
+                lam_, v_ = carry
+                def force(l):
+                    F, _ = lambda_dyn.lambda_force(
+                        l, jnp.zeros(1), spec, pH, T, p)
+                    _, dvb = metad.lookup(V, dV, l, mp)
+                    return F - dvb
+                F = force(lam_)
+                v_ = v_ + 0.5 * dt * F * inv_m
+                lam_ = lam_ + 0.5 * dt * v_
+                v_ = c1 * v_ + c2 * jax.random.normal(k, v_.shape)
+                lam_ = lam_ + 0.5 * dt * v_
+                v_ = v_ + 0.5 * dt * force(lam_) * inv_m
+                return (lam_, v_), lam_[0]
+            (lam_w, v_w), tr = jax.lax.scan(step, (lam_w, v_w), keys_w)
+            return lam_w, v_w, tr
+        return jax.vmap(one)(lam, v, keys)
+
+    # chunk short enough that each walker adds only ~2 hills per
+    # merge — long frozen-bias chunks dump correlated hill bursts
+    # and overshoot (measured: 2000-step chunks gave est 0.65 for
+    # want 0.5; 200-step chunks converge)
+    steps_per_chunk, n_chunks = 200, 400
+    V, dV = metad.init_tables(1, mp)
+    lam = jnp.zeros((W, 1))
+    v = jnp.zeros((W, 1))
+    key = jax.random.PRNGKey(9)
+    fracs = []
+    for c in range(n_chunks):
+        key, k1 = jax.random.split(key)
+        keys = jax.random.split(k1, W * steps_per_chunk).reshape(
+            W, steps_per_chunk, 2)
+        lam, v, tr = chunk(lam, v, keys, V, dV)
+        # merge hills: sub-sample at the stride, interleave walkers
+        seq = tr[:, mp.stride - 1::mp.stride]            # (W, K)
+        seq = seq.T.reshape(-1, 1)                       # time-major
+        V, dV = metad.deposit_many(V, dV, seq, mp)
+        if c >= n_chunks // 2:
+            fracs.append(float(metad.deprotonated_fraction(V, mp)[0]))
+    est = float(np.mean(fracs))
+    want = 1.0 / (1.0 + 10.0 ** (-dpH))
+    assert abs(est - want) < 0.08, (est, want)

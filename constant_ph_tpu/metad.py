@@ -49,7 +49,12 @@ class MetadParams:
     # initial hill height (kcal/mol); the WT factor damps it as V grows
     h0: float = struct.field(pytree_node=False, default=0.1)
     # well-tempered bias factor γ > 1: V converges to (1−1/γ)·F, hills
-    # decay as exp(−V/((γ−1)kT)); γ→∞ recovers standard metadynamics
+    # decay as exp(−V/((γ−1)kT)); γ→∞ recovers standard metadynamics.
+    # SIZE γ TO THE BARRIER: the fill effectively stalls once V reaches
+    # a few ×(γ−1)kT, so crossing needs γ ≳ 1 + F_barrier/kT — the bare
+    # Donnini landscape (~6.5 kcal) works at γ 8-15, full-Δq landscapes
+    # (+ Marcus solvent term, 12-20 kcal total) need γ ~ 25-40
+    # (measured round 3: γ=12 never crossed at full Δq)
     gamma: float = struct.field(pytree_node=False, default=8.0)
     T: float = struct.field(pytree_node=False, default=300.0)
     # deposit one hill whenever an engine block boundary crosses a

@@ -67,10 +67,16 @@ def main():
     ap.add_argument("--steps-per-chunk", type=int, default=1200)
     ap.add_argument("--cal-steps", type=int, default=3000)
     ap.add_argument("--eq-steps", type=int, default=400)
-    ap.add_argument("--hill", type=float, default=0.15,
+    ap.add_argument("--hill", type=float, default=0.4,
                     help="initial hill height h0 (kcal/mol)")
     ap.add_argument("--sigma", type=float, default=0.03)
-    ap.add_argument("--gamma", type=float, default=12.0)
+    ap.add_argument("--gamma", type=float, default=30.0,
+                    help="well-tempered factor; the WT fill saturates "
+                         "near (gamma-1)*kT, so gamma must exceed "
+                         "1 + F_barrier/kT — full-dq landscapes (Donnini "
+                         "bias + Marcus solvent term, 12-20 kcal) need "
+                         "gamma ~ 25-40 (measured: gamma=12 never "
+                         "crossed; see DESIGN.md sec 8)")
     ap.add_argument("--stride", type=int, default=48,
                     help="MD steps per hill")
     ap.add_argument("--out", default="examples/results/"

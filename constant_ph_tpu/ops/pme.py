@@ -99,6 +99,12 @@ def make_pme_params(box, cell_grid, alpha: float, *, spacing: float = 0.9,
     cell and the dangerous-build monitor tolerates up to `skin` of drift per
     block — pass the TileParams values so the B-spline support is never
     clipped for any accepted excursion."""
+    if p % 2 != 0:
+        # odd-order cardinal B-splines have b(k)=0 at the Nyquist
+        # frequency for even mesh sizes — the influence function blows
+        # up there (measured: p=5 mesh 84³ gave frel 3.2e-2 vs the Ewald
+        # oracle where p=4/p=6 sit at 1e-4). Even orders only.
+        raise ValueError(f"PME B-spline order must be even, got p={p}")
     if slack is None:
         slack = mol_radius + skin
     box = np.asarray(box, dtype=np.float64)

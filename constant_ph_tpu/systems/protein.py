@@ -58,6 +58,7 @@ def solvated_polypeptide(
     pH: float = 7.0,
     T: float = 300.0,
     dq_scale: float = 1.0,
+    n_buffer_waters: int = 1,
     cutoff: float = 9.0,
     skin: float = 2.0,
     alpha: float = 0.0,
@@ -215,19 +216,35 @@ def solvated_polypeptide(
         excl_code=jnp.asarray(excl_code),
     )
 
-    # ---- multi-site λ table: one buffer water per site ----
+    # ---- multi-site λ table: n_buffer_waters buffer waters per site ----
+    # The compensating +1e is spread over n_buffer_waters scattered waters
+    # (+1/(3·n_buf) per atom). Solvent reorganization scales as Σ_i dq_i²
+    # (Marcus), so a single buffer water carrying the full +1e adds a
+    # ~15-25 kcal/mol mid-λ barrier that makes full-Δq titration
+    # metastable (measured round 3: 16 kcal of WT-metadynamics fill at
+    # λ≈0.42 without a single crossing); spreading over N waters cuts the
+    # buffer-side term by 1/N — the standard collective-buffer scheme of
+    # production constant-pH codes. Buffers are drawn from a seeded
+    # permutation so each site's set is scattered through the box, and
+    # sites' sets are disjoint.
+    n_sites_tot = len(site_atoms)
+    if n_sites_tot * n_buffer_waters > n_wat:
+        raise ValueError(
+            f"need {n_sites_tot * n_buffer_waters} buffer waters, "
+            f"only {n_wat} available")
+    perm = np.random.default_rng(seed + 1).permutation(n_wat)
     specs = []
     for s, ids in enumerate(site_atoms):
-        buf = wat_o[s]          # s-th water is site s's buffer
         # dq_scale < 1 reduces the site's Δq (the solvent-reorganization
         # barrier scales as Δq² — same knob as solvated_acid's
         # lambda_coupled; 1.0 = the full protonation charge change)
+        bufs = wat_o[perm[s::n_sites_tot][:n_buffer_waters]]
         specs.append(make_single_site(
             atom_idx=ids,
             q_prot=ACID_Q_PROT,
             q_deprot=ACID_Q_PROT + (ACID_Q_DEPROT - ACID_Q_PROT) * dq_scale,
             pK=pKs[s % len(pKs)],
-            buffer_idx=[buf, buf + 1, buf + 2],
+            buffer_idx=np.stack([bufs, bufs + 1, bufs + 2], -1).reshape(-1),
             dtype=dtype,
         ))
     spec = stack_sites(specs)

@@ -36,21 +36,27 @@ def log(msg):
     print(f"# {msg}", file=sys.stderr, flush=True)
 
 
-def save_ckpt(path, batch, chunks_done, dG, W):
+def save_ckpt(path, batch, chunks_done, dG, W, bufw, tail_sum, tail_n):
     leaves, _ = jax.tree_util.tree_flatten(jax.device_get(batch))
     np.savez(path + ".tmp.npz", chunks_done=chunks_done, dG=dG, W=W,
+             bufw=bufw, tail_sum=tail_sum, tail_n=tail_n,
              n_leaves=len(leaves),
              **{f"leaf{i}": np.asarray(l) for i, l in enumerate(leaves)})
     os.replace(path + ".tmp.npz", path)
 
 
-def load_ckpt(path, template_batch):
+def load_ckpt(path, template_batch, bufw):
     d = np.load(path)
+    ck_bufw = int(d["bufw"]) if "bufw" in d.files else -1
+    assert ck_bufw == bufw, (
+        f"checkpoint was written with --buffer-waters {ck_bufw}, run "
+        f"requests {bufw}: different physics, refusing to resume")
     leaves, treedef = jax.tree_util.tree_flatten(template_batch)
     assert int(d["n_leaves"]) == len(leaves), "checkpoint/layout mismatch"
     new = [jnp.asarray(d[f"leaf{i}"], leaves[i].dtype)
            for i in range(len(leaves))]
-    return jax.tree_util.tree_unflatten(treedef, new), int(d["chunks_done"])
+    return (jax.tree_util.tree_unflatten(treedef, new), int(d["chunks_done"]),
+            np.asarray(d["tail_sum"]), int(d["tail_n"]))
 
 
 def main():
@@ -79,6 +85,19 @@ def main():
                          "crossed; see DESIGN.md sec 8)")
     ap.add_argument("--stride", type=int, default=48,
                     help="MD steps per hill")
+    ap.add_argument("--buffer-waters", type=int, default=8,
+                    help="waters sharing each site's compensating +1e; "
+                         "Marcus reorganization scales as the buffer's "
+                         "per-molecule dq^2, and one water carrying the "
+                         "full charge raises a 15-25 kcal mid-lambda "
+                         "barrier (measured: 16 kcal of WT fill at "
+                         "lambda 0.42 with zero crossings) — spread it")
+    ap.add_argument("--tail-burn", type=float, default=0.5,
+                    help="fraction of chunks treated as fill burn-in; "
+                         "the reported estimator is the time average of "
+                         "the basin fraction over the remaining tail "
+                         "(DESIGN.md sec 8 rule b: final-snapshot reads "
+                         "ride the most recent hill burst, +-0.1)")
     ap.add_argument("--out", default="examples/results/"
                                      "titration_metad_multisite_v5e.json")
     ap.add_argument("--ckpt", default="examples/results/"
@@ -103,7 +122,8 @@ def main():
     cpu = jax.local_devices(backend="cpu")[0]
     build = dict(n_residues=40, sites_every=2, box_len=66.0,
                  water_spacing=3.1, cutoff=8.0, skin=0.8,
-                 coul_style="dsf", alpha=0.2, pH=5.0, dq_scale=1.0)
+                 coul_style="dsf", alpha=0.2, pH=5.0, dq_scale=1.0,
+                 n_buffer_waters=args.buffer_waters)
     split = dict(skin=0.8, tile_safety=1.72)
     if args.small:
         build.update(n_residues=8, box_len=26.0, water_spacing=3.4,
@@ -195,10 +215,14 @@ def main():
                 key=jax.random.PRNGKey(2000 + g * 131 + w)))
     batch = stack_replicas(reps)
     chunks_done = 0
+    # tail-time-averaged basin fractions (DESIGN.md §8 rule b): sum of
+    # per-chunk deprotonated_fraction over chunks past the burn-in
+    tail_sum, tail_n = np.zeros((G, S)), 0
     if resume:
-        batch, chunks_done = load_ckpt(args.ckpt, batch)
+        batch, chunks_done, tail_sum, tail_n = load_ckpt(
+            args.ckpt, batch, args.buffer_waters)
         batch = jax.device_put(batch, dev)
-        log(f"resumed at chunk {chunks_done}")
+        log(f"resumed at chunk {chunks_done} (tail_n={tail_n})")
 
     runv = jax.jit(jax.vmap(eng.make_run(args.steps_per_chunk,
                                          detailed_flags=True)))
@@ -223,15 +247,22 @@ def main():
             batch = batch.replace(
                 metad_v=jnp.repeat(Vg, wpp, axis=0),
                 metad_dv=jnp.repeat(dVg, wpp, axis=0))
+        if c + 1 > int(args.tail_burn * args.chunks):
+            v_groups = batch.metad_v.reshape(G, wpp, S, mp.nbins)[:, 0]
+            tail_sum += np.asarray(metad.deprotonated_fraction(
+                v_groups.reshape(G * S, mp.nbins), mp)).reshape(G, S)
+            tail_n += 1
         if (c + 1) % args.ckpt_every == 0 or c == args.chunks - 1:
-            save_ckpt(args.ckpt, batch, c + 1, dG, ts.params.W)
+            save_ckpt(args.ckpt, batch, c + 1, dG, ts.params.W,
+                      args.buffer_waters, tail_sum, tail_n)
         if (c + 1) % 5 == 0 or c == args.chunks - 1:
             v_groups = batch.metad_v.reshape(G, wpp, S, mp.nbins)[:, 0]
-            frac = np.asarray(metad.deprotonated_fraction(
+            frac_now = np.asarray(metad.deprotonated_fraction(
                 v_groups.reshape(G * S, mp.nbins), mp)).reshape(G, S)
+            frac = tail_sum / tail_n if tail_n > 0 else frac_now
             out = _report(pks, pHs, frac, args, dG,
                           int(sys_.state.x.shape[0]), n_overflow,
-                          time.time() - t0, c + 1, mp)
+                          time.time() - t0, c + 1, mp, tail_n)
             with open(args.out, "w") as fh:
                 json.dump(out, fh, indent=1)
             log(f"chunk {c+1}/{args.chunks}: "
@@ -241,7 +272,8 @@ def main():
     print(json.dumps(out["summary"]))
 
 
-def _report(pks, pHs, frac, args, dG, n_atoms, n_overflow, wall, chunks, mp):
+def _report(pks, pHs, frac, args, dG, n_atoms, n_overflow, wall, chunks, mp,
+            tail_n=0):
     per_site = []
     devs = []
     for i in range(len(pks)):
@@ -257,7 +289,11 @@ def _report(pks, pHs, frac, args, dG, n_atoms, n_overflow, wall, chunks, mp):
                   "basin-integrated free-energy estimator)",
         "system": {"atoms": n_atoms, "sites": len(pks),
                    "pK": pks.tolist(), "dq_scale": 1.0,
+                   "n_buffer_waters": args.buffer_waters,
                    "landscape": "Donnini Table-S2 default"},
+        "estimator": ("tail-time-averaged basin fraction "
+                      f"(n={tail_n} chunks)" if tail_n
+                      else "final-snapshot basin fraction (burn-in)"),
         "metad": {"h0": args.hill, "sigma": args.sigma,
                   "gamma": args.gamma, "stride": args.stride,
                   "nbins": mp.nbins,

@@ -82,3 +82,52 @@ def test_dq_scale_neutrality_and_magnitude():
                - half.ff.q0)
     np.testing.assert_allclose(np.asarray(dq_half), 0.5 * np.asarray(dq_full),
                                atol=1e-6)
+
+
+def test_buffer_spreading_neutral_disjoint_and_bounded():
+    """n_buffer_waters spreads each site's compensating +1e over N
+    scattered waters: Σq stays exact at any λ, per-buffer-atom dq is
+    1/(3N) of the site Δq, site buffer sets are disjoint, and an
+    impossible request raises (systems/protein.py round-3 Marcus fix —
+    the single-buffer layout put a 20.4 kcal/mol mid-λ PMF barrier on
+    full-Δq titration, examples/results/buffer_barrier_probe.json)."""
+    base = dict(n_residues=8, sites_every=2, box_len=26.0, cutoff=6.0,
+                skin=1.2)
+    one = solvated_polypeptide(n_buffer_waters=1, **base)
+    four = solvated_polypeptide(n_buffer_waters=4, **base)
+    for sys_ in (one, four):
+        S = sys_.spec.n_sites
+        for lam_v in (0.0, 0.37, 1.0):
+            q = lambda_dyn.charges(sys_.ff.q0, sys_.spec,
+                                   jnp.full((S,), lam_v))
+            np.testing.assert_allclose(
+                float(jnp.sum(q)) - float(jnp.sum(sys_.ff.q0)), 0.0,
+                atol=2e-5)
+        idx = np.asarray(sys_.spec.atom_idx)
+        msk = np.asarray(sys_.spec.atom_mask)
+        flat = idx[msk > 0]
+        assert len(flat) == len(set(flat.tolist())), "buffer sets overlap"
+    # buffer per-atom dq: -Σdq_site/(3N); site rows identical across builds
+    dq1 = np.asarray(one.spec.dq)[0]
+    dq4 = np.asarray(four.spec.dq)[0]
+    np.testing.assert_allclose(dq1[:4], dq4[:4], atol=1e-7)   # acid atoms
+    np.testing.assert_allclose(dq1[4:7], np.full(3, 1.0 / 3), atol=1e-6)
+    np.testing.assert_allclose(dq4[4:16], np.full(12, 1.0 / 12), atol=1e-6)
+    # impossible spread: more buffer waters than waters exist
+    import pytest
+
+    with pytest.raises(ValueError, match="buffer waters"):
+        solvated_polypeptide(n_buffer_waters=10_000, **base)
+
+
+def test_pme_rejects_odd_spline_order():
+    """Odd-order cardinal B-splines have b(k)=0 at Nyquist (measured
+    frel 3.2e-2 at p=5 vs 1e-4 at p=4/6, examples/probe_ewald_split.py
+    --phase2); make_pme_params must refuse them."""
+    import pytest
+
+    from constant_ph_tpu.ops.pme import make_pme_params
+
+    with pytest.raises(ValueError, match="even"):
+        make_pme_params(np.array([30.0, 30.0, 30.0]), (3, 3, 3), 0.3,
+                        spacing=1.2, p=5)

@@ -89,6 +89,7 @@ def solvated_acid(
     alpha: float = 0.0,
     coul_style: str = "cut",
     hmr: float = 1.0,
+    n_buffer_waters: int = 1,
     seed: int = 0,
     dtype=jnp.float32,
 ) -> System:
@@ -208,14 +209,30 @@ def solvated_acid(
         excl_code=jnp.asarray(excl_code),
     )
 
-    # λ site: acid atoms + buffer water (first water = atoms 4,5,6)
+    # λ site: acid atoms + buffer water(s). With n_buffer_waters == 1 the
+    # first water (atoms 4,5,6) carries the full compensating +1e (the
+    # reference's literal 3-atom groupW, fix_constant_pH.cpp:42-46); with
+    # N > 1 the charge spreads +1/(3N) per atom over N scattered waters —
+    # solvent reorganization scales as Σdq² and the single-buffer layout
+    # costs a measured 20.4 kcal/mol mid-λ PMF barrier at full Δq
+    # (examples/results/buffer_barrier_probe.json).
     dq_scale = float(lambda_coupled)
+    if n_buffer_waters > n_wat:
+        raise ValueError(
+            f"need {n_buffer_waters} buffer waters, only {n_wat} available")
+    if n_buffer_waters == 1:
+        bufs = np.array([0])
+    else:
+        bufs = np.sort(
+            np.random.default_rng(seed + 1).permutation(n_wat)
+            [:n_buffer_waters])
+    buf_o = n_acid + 3 * bufs
     spec = make_single_site(
         atom_idx=[0, 1, 2, 3],
         q_prot=ACID_Q_PROT,
         q_deprot=(ACID_Q_PROT + (ACID_Q_DEPROT - ACID_Q_PROT) * dq_scale),
         pK=pK,
-        buffer_idx=[4, 5, 6],
+        buffer_idx=np.stack([buf_o, buf_o + 1, buf_o + 2], -1).reshape(-1),
         dG_ref=dG_ref,
         dtype=dtype,
     )

@@ -50,6 +50,8 @@ _BUILDERS = {
     "water_box": "constant_ph_tpu.systems.water:water_box",
     "solvated_polypeptide": "constant_ph_tpu.systems.protein:solvated_polypeptide",
     "lj_fluid": "constant_ph_tpu.systems.lj:lj_fluid",
+    # LAMMPS data file + λ-site JSON sidecar (the reference's input world)
+    "lammps_data": "constant_ph_tpu.systems.lammps_data:system_from_deck",
 }
 
 

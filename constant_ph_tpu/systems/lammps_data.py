@@ -561,3 +561,32 @@ def system_from_lammps_data(
     return System(ff=ff, state=state, nbr_params=nbr_params, bonded=bonded,
                   constraints=constraints, spec=spec,
                   groupH_mask=groupH_mask)
+
+
+def system_from_deck(
+    path: str,
+    *,
+    sites_json: str | None = None,
+    rigid_water_types=None,
+    **kw,
+):
+    """CLI-facing deck builder: LAMMPS data file + optional λ-site JSON
+    sidecar (written by :func:`write_sites_json`).
+
+    This is the reference's complete input pathway as one call — the host
+    reads the data file (fix_constant_pH.cpp:15-25 lives in a
+    data-file-driven world) and the fix command line supplies the
+    titration metadata (cpp:36-54); here the sidecar carries that
+    metadata. Registered as the ``lammps_data`` builder in the CLI, so a
+    JSON config can point at a deck:
+
+        {"system": {"builder": "lammps_data", "path": "hewl.data",
+                    "sites_json": "hewl.sites.json",
+                    "rigid_water_types": [6, 7], "cutoff": 8.0, ...}}
+    """
+    sites = sites_from_json(sites_json) if sites_json else ()
+    if rigid_water_types is not None:
+        rigid_water_types = tuple(int(t) for t in rigid_water_types)
+    return system_from_lammps_data(
+        path, rigid_water_types=rigid_water_types,
+        titratable_sites=sites, **kw)

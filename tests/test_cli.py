@@ -124,3 +124,42 @@ def test_cli_calibrate_metad(tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["method"] == "metad"
     assert np.isfinite(np.asarray(out["dG_ref_per_site"])).all()
+
+
+def test_cli_run_lammps_deck(tmp_path, capsys):
+    """Deck-driven run through the CLI: builder 'lammps_data' reads a
+    LAMMPS data file + λ-site sidecar (the reference's complete input
+    pathway: data file for the host, fix command line → sidecar)."""
+    from constant_ph_tpu.systems.lammps_data import (write_lammps_data,
+                                                     write_sites_json)
+    from constant_ph_tpu.systems.water import solvated_acid
+
+    src = solvated_acid(n_side=3, pH=5.0, pK=4.25, cutoff=4.5,
+                        coul_style="dsf", alpha=0.2, rigid_water=True)
+    deck = str(tmp_path / "acid.data")
+    sidecar = str(tmp_path / "acid.sites.json")
+    write_lammps_data(deck, src)
+    write_sites_json(sidecar, src)
+    cfg = {
+        "system": {
+            "builder": "lammps_data", "path": deck, "sites_json": sidecar,
+            # solvated_acid types: 5=O_wat, 6=H_wat (1-based in the deck)
+            "rigid_water_types": [5, 6],
+            "cutoff": 4.5, "coul_style": "dsf", "alpha": 0.2, "pH": 5.0,
+        },
+        "engine": {
+            "dt": 1.0, "thermostat": "langevin", "T": 300.0,
+            "gamma": 0.01, "lambda_thermostat": "langevin",
+            "rebuild_every": 5,
+        },
+        "run": {"steps": 20, "minimize_steps": 20, "observe_every": 10,
+                "tiled": True},
+    }
+    p = str(tmp_path / "deck_cfg.json")
+    with open(p, "w") as fh:
+        json.dump(cfg, fh)
+    main(["run", p])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    summary = json.loads(out)
+    assert summary["steps"] == 20
+    assert np.isfinite(summary["e_pot"])

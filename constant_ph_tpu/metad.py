@@ -156,3 +156,57 @@ def delta_f_sites(V, p: MetadParams):
     x = deprotonated_fraction(V, p)
     x = jnp.clip(x, 1e-12, 1.0 - 1e-12)
     return -kT * jnp.log(x / (1.0 - x))
+
+
+def deposit_frozen(V, dV, lam_seq, p: MetadParams):
+    """Hill DELTAS against a frozen base table (vectorized over hills).
+
+    lam_seq: (K, S) hill positions. All well-tempered heights are
+    computed against the FROZEN (V, dV) — the standard delayed-bias
+    treatment for multiple-walkers metadynamics, where walkers run a
+    chunk against a fixed bias and their hills merge afterwards. Returns
+    (ΔV, ΔdV) with the same (S, nbins) shape as the tables; deltas from
+    different walkers are additive and order-free, which is what makes
+    the cross-device psum merge exact (unlike the progressive
+    deposit_many, where each hill's height sees earlier hills)."""
+    kT = units.BOLTZ * p.T
+    v_at = jax.vmap(lambda lam: lookup(V, dV, lam, p)[0])(lam_seq)  # (K,S)
+    h = p.h0 * jnp.exp(-v_at / ((p.gamma - 1.0) * kT))              # (K,S)
+    x = p.grid()[None, None, :] - lam_seq[:, :, None]               # (K,S,B)
+    g = jnp.exp(-(x * x) / (2.0 * p.sigma * p.sigma))
+    dVt = jnp.sum(h[:, :, None] * g, axis=0)
+    ddVt = jnp.sum(h[:, :, None] * (-x / (p.sigma * p.sigma)) * g, axis=0)
+    return dVt, ddVt
+
+
+def make_mesh_walker_merge(mesh, axis: str, p: MetadParams):
+    """Cross-device multiple-walkers hill merge: shard_map + psum.
+
+    Returns merge(V, dV, lam_seq_sharded) where (V, dV) are the shared
+    (S, nbins) tables REPLICATED over `axis` and lam_seq is (W, K, S)
+    SHARDED over `axis` (one or more walkers per device). Each device
+    computes its walkers' hill deltas against the frozen shared table
+    (deposit_frozen) and the deltas are summed across the mesh with
+    `jax.lax.psum` — the direct analog of the reference's
+    MPI_Allreduce-based sharing (fix_constant_pH.cpp:274), here carrying
+    bias increments between same-pH walkers on different chips
+    (docs/ROADMAP.md round-3 candidate 4). Exact: frozen-base deltas are
+    order-free, so the psum merge equals the serial frozen-base merge
+    bit-for-bit up to float addition order."""
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    def _local(V, dV, seq):
+        # seq: (W_local, K, S) — fold this device's walkers into one
+        # hill sequence; heights are all frozen-base so order is moot
+        flat = seq.reshape(-1, seq.shape[-1])
+        dVt, ddVt = deposit_frozen(V, dV, flat, p)
+        dVt = jax.lax.psum(dVt, axis)
+        ddVt = jax.lax.psum(ddVt, axis)
+        return V + dVt, dV + ddVt
+
+    return shard_map(
+        _local, mesh=mesh,
+        in_specs=(P(), P(), P(axis)),
+        out_specs=(P(), P()),
+    )

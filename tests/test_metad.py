@@ -320,3 +320,41 @@ def test_shared_walkers_estimator_matches_hh():
     est = float(np.mean(fracs))
     want = 1.0 / (1.0 + 10.0 ** (-dpH))
     assert abs(est - want) < 0.08, (est, want)
+
+
+def test_mesh_walker_merge_matches_serial_frozen_merge():
+    """Cross-device multiple-walkers merge (shard_map + psum over the
+    8-device CPU mesh) must equal the serial frozen-base merge — the
+    delayed-bias deltas are order-free, so the distributed and local
+    results agree to float tolerance; and for small per-walker bursts it
+    must track the progressive deposit_many within the documented
+    delayed-bias lag (DESIGN.md §8 rule c)."""
+    from jax.sharding import Mesh
+
+    S, W, K = 3, 8, 2
+    p = metad.MetadParams(nbins=121, sigma=0.05, h0=0.3, gamma=12.0,
+                          stride=10)
+    rng = np.random.default_rng(7)
+    # pre-fill the shared table a bit so WT heights are non-trivial
+    V, dV = metad.init_tables(S, p)
+    warm = jnp.asarray(rng.uniform(0.1, 0.9, (20, S)).astype(np.float32))
+    V, dV = metad.deposit_many(V, dV, warm, p)
+    seq = jnp.asarray(rng.uniform(0.0, 1.0, (W, K, S)).astype(np.float32))
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("walkers",))
+    merge = metad.make_mesh_walker_merge(mesh, "walkers", p)
+    Vm, dVm = jax.jit(merge)(V, dV, seq)
+
+    # serial frozen-base reference
+    dVt, ddVt = metad.deposit_frozen(V, dV, seq.reshape(-1, S), p)
+    np.testing.assert_allclose(np.asarray(Vm), np.asarray(V + dVt),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dVm), np.asarray(dV + ddVt),
+                               rtol=1e-4, atol=1e-4)
+
+    # progressive merge stays within the delayed-bias lag for small K
+    Vp, dVp = metad.deposit_many(V, dV, seq.reshape(-1, S), p)
+    lag = float(jnp.max(jnp.abs(Vp - Vm)))
+    # frozen heights are upper bounds; with 16 hills of h≤0.3 the lag is
+    # bounded by a fraction of one hill height
+    assert lag < 0.5 * p.h0 * W * K * 0.1 + 0.05, lag

@@ -223,6 +223,13 @@ def main():
             args.ckpt, batch, args.buffer_waters)
         batch = jax.device_put(batch, dev)
         log(f"resumed at chunk {chunks_done} (tail_n={tail_n})")
+    else:
+        # checkpoint the equilibrated+calibrated state BEFORE the first
+        # chunk: the axon TPU worker can crash within minutes (observed
+        # 3x in round 3), and eq+cal are ~8 min of lost work per retry
+        save_ckpt(args.ckpt, batch, 0, dG, ts.params.W,
+                  args.buffer_waters, tail_sum, tail_n)
+        log("wrote post-calibration checkpoint (chunk 0)")
 
     runv = jax.jit(jax.vmap(eng.make_run(args.steps_per_chunk,
                                          detailed_flags=True)))

@@ -92,6 +92,16 @@ def main():
                          "full charge raises a 15-25 kcal mid-lambda "
                          "barrier (measured: 16 kcal of WT fill at "
                          "lambda 0.42 with zero crossings) — spread it")
+    ap.add_argument("--inner-steps", type=int, default=0,
+                    help="split each chunk into jit calls of this many "
+                         "steps (0 = whole chunk in one call). The axon "
+                         "TPU worker kills device programs that run "
+                         "~100 s in one XLA call (observed: 5/5 crashes "
+                         "at the first 1200-step 9-replica call, while "
+                         "24-step calls always pass) — 240 keeps each "
+                         "call ~20 s with identical physics (deposits "
+                         "happen at rebuild-block boundaries inside the "
+                         "scan either way)")
     ap.add_argument("--tail-burn", type=float, default=0.5,
                     help="fraction of chunks treated as fill burn-in; "
                          "the reported estimator is the time average of "
@@ -231,8 +241,24 @@ def main():
                   args.buffer_waters, tail_sum, tail_n)
         log("wrote post-calibration checkpoint (chunk 0)")
 
-    runv = jax.jit(jax.vmap(eng.make_run(args.steps_per_chunk,
-                                         detailed_flags=True)))
+    inner = args.inner_steps or args.steps_per_chunk
+    if args.steps_per_chunk % inner:
+        raise SystemExit("--inner-steps must divide --steps-per-chunk")
+    run_inner = jax.jit(jax.vmap(eng.make_run(inner, detailed_flags=True)))
+
+    def runv(b):
+        """One chunk as steps_per_chunk//inner jit calls; flags OR,
+        λ traces concatenate (same physics — see --inner-steps help)."""
+        caps, drifts, lams = [], [], []
+        for _ in range(args.steps_per_chunk // inner):
+            b, (ov_c, ov_d), obs = run_inner(b)
+            caps.append(ov_c)
+            drifts.append(ov_d)
+            lams.append(obs.lam)
+        ov_c = jnp.stack(caps).any(axis=0)
+        ov_d = jnp.stack(drifts).any(axis=0)
+        obs = obs.replace(lam=jnp.concatenate(lams, axis=1))
+        return b, (ov_c, ov_d), obs
     if wpp > 1:
         dep_groups = jax.jit(jax.vmap(
             lambda V, dV, seq: metad.deposit_many(V, dV, seq, mp)))

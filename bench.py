@@ -10,6 +10,11 @@ documented in BASELINE.md) — `vs_baseline` is ns/day ÷ 5.0.
 Uses the tiled TPU hot path (constant_ph_tpu.tiled): roll-stencil cell
 blocks, zero gathers per step. Prints ONE JSON line:
 {"metric", "value", "unit", "vs_baseline"}.
+
+The recorded headline is the FULL-electrostatics config (smooth PME +
+kspace_every=2 impulse MTS — production constant-pH needs kspace, VERDICT
+r1 item 3); `--kspace dsf` selects the faster truncated-coulomb config
+(60.4 ns/day, round 1's headline).
 """
 from __future__ import annotations
 
@@ -60,12 +65,15 @@ def main():
     ap.add_argument("rebuild_every", nargs="?", type=int, default=12)
     ap.add_argument("--platform", choices=["auto", "accel", "cpu"],
                     default="auto")
-    ap.add_argument("--kspace", choices=["dsf", "pme"], default="dsf",
-                    help="electrostatics for the headline: dsf (damped "
-                         "shifted-force, rc=8) or pme (smooth PME, "
-                         "rc=6.6/alpha=0.364/56-per-box mesh/p6 spline, "
-                         "kspace_every=2 impulse MTS — the config "
-                         "measured in examples/probe_ewald_split.py)")
+    ap.add_argument("--kspace", choices=["dsf", "pme"], default="pme",
+                    help="electrostatics for the headline: pme (DEFAULT — "
+                         "production constant-pH runs full electrostatics; "
+                         "smooth PME rc=8/alpha=0.300/48-cube mesh/p6 "
+                         "spline, kspace_every=2 impulse MTS, the config "
+                         "measured in examples/probe_ewald_split.py) or "
+                         "dsf (damped shifted-force rc=8 truncated "
+                         "coulomb — faster, 60.4 ns/day, round 1's "
+                         "headline)")
     args = ap.parse_args()
 
     if args.platform == "auto":

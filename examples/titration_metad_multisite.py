@@ -45,6 +45,40 @@ def save_ckpt(path, batch, chunks_done, dG, W, bufw, tail_sum, tail_n):
     os.replace(path + ".tmp.npz", path)
 
 
+def make_replica_finite():
+    """Jitted (batch,) -> (R,) bool: every float leaf of each replica finite.
+
+    Failure detection for the vmapped walker batch (SURVEY.md §5.3): a
+    single walker can blow up (observed once at HEWL scale: replica pH 5.0
+    went NaN mid-run — positions parked by rebin, overflow flag tripping
+    every chunk) and would otherwise silently poison its bias table for
+    the rest of the run.
+    """
+    @jax.jit
+    def fin(batch):
+        cols = []
+        for leaf in jax.tree_util.tree_leaves(batch):
+            if jnp.issubdtype(leaf.dtype, jnp.floating):
+                cols.append(jnp.isfinite(leaf).all(
+                    axis=tuple(range(1, leaf.ndim))))
+        return jnp.stack(cols).all(axis=0)
+    return fin
+
+
+def rollback_replicas(batch, prev, fin, chunk_idx):
+    """Device-side per-replica rollback: where a replica went non-finite,
+    restore its pre-chunk state and fold fresh noise into its RNG key so
+    the retry draws a different trajectory. Healthy replicas keep their
+    advanced state."""
+    def sel(new, old):
+        m = fin.reshape(fin.shape + (1,) * (new.ndim - 1))
+        return jnp.where(m, new, old)
+    merged = jax.tree_util.tree_map(sel, batch, prev)
+    rekey = jax.vmap(lambda k: jax.random.fold_in(k, 7919 + chunk_idx))(
+        merged.key)
+    return merged.replace(key=jnp.where(fin[:, None], merged.key, rekey))
+
+
 def load_ckpt(path, template_batch, bufw):
     d = np.load(path)
     ck_bufw = int(d["bufw"]) if "bufw" in d.files else -1
@@ -263,8 +297,19 @@ def main():
         dep_groups = jax.jit(jax.vmap(
             lambda V, dV, seq: metad.deposit_many(V, dV, seq, mp)))
     n_overflow = 0
+    n_rollback = 0
+    replica_finite = make_replica_finite()
     for c in range(chunks_done, args.chunks):
+        prev = batch                      # pre-chunk state (rollback source)
         batch, (ov_cap, ov_drift), obs = runv(batch)
+        fin = replica_finite(batch)
+        if not bool(fin.all()):
+            bad = np.where(~np.asarray(fin))[0].tolist()
+            n_rollback += len(bad)
+            log(f"chunk {c+1}: replicas {bad} non-finite -> "
+                f"rollback+reseed (total rollbacks {n_rollback})")
+            batch = rollback_replicas(batch, prev, fin, c)
+            continue                      # skip tally: bad walkers re-run
         n_overflow += int(np.asarray(ov_cap).sum())
         if wpp > 1:
             # merge this chunk's hills per pH group: sub-sample each
@@ -295,7 +340,8 @@ def main():
             frac = tail_sum / tail_n if tail_n > 0 else frac_now
             out = _report(pks, pHs, frac, args, dG,
                           int(sys_.state.x.shape[0]), n_overflow,
-                          time.time() - t0, c + 1, mp, tail_n)
+                          time.time() - t0, c + 1, mp, tail_n,
+                          n_rollback=n_rollback)
             with open(args.out, "w") as fh:
                 json.dump(out, fh, indent=1)
             log(f"chunk {c+1}/{args.chunks}: "
@@ -306,7 +352,7 @@ def main():
 
 
 def _report(pks, pHs, frac, args, dG, n_atoms, n_overflow, wall, chunks, mp,
-            tail_n=0):
+            tail_n=0, n_rollback=0):
     per_site = []
     devs = []
     for i in range(len(pks)):
@@ -333,7 +379,8 @@ def _report(pks, pHs, frac, args, dG, n_atoms, n_overflow, wall, chunks, mp,
                   "walkers_per_ph": args.walkers_per_ph},
         "dG_ref": dG, "replicas": len(pHs), "chunks_done": chunks,
         "steps_per_chunk": args.steps_per_chunk,
-        "n_overflow_blocks": n_overflow, "wall_s": wall,
+        "n_overflow_blocks": n_overflow, "n_rollbacks": n_rollback,
+        "wall_s": wall,
         "per_site": per_site,
         "summary": {"mean_abs_dev": float(np.mean(devs)),
                     "max_abs_dev": float(np.max(devs))},

@@ -111,3 +111,45 @@ def make_rex_runner_tiled(engine, md_steps_per_swap: int,
         return states, key, accepted, last_obs
 
     return block
+
+
+# -- per-replica failure detection (SURVEY.md §5.3) ---------------------------
+#
+# A single walker in a vmapped replica batch can blow up while the others
+# stay healthy (observed at HEWL scale: one metadynamics walker went NaN,
+# rebin parked all its waters, and its overflow flag tripped every chunk —
+# left alone it silently poisons its own statistics for the rest of the
+# run). There is no MPI rank to kill and restart (the reference world's
+# recovery, fix_constant_pH.cpp's host aborts the whole job); the TPU-native
+# equivalent is a device-side per-replica rollback.
+
+
+def replica_finite(batch) -> jax.Array:
+    """(R,) bool: every floating-point leaf of each replica is finite.
+
+    Jit-safe reduction over the batched pytree (leading axis = replica).
+    Cost: one pass over the batch arrays, one (R,) bool to the host.
+    """
+    cols = []
+    for leaf in jax.tree_util.tree_leaves(batch):
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            cols.append(jnp.isfinite(leaf).all(
+                axis=tuple(range(1, leaf.ndim))))
+    return jnp.stack(cols).all(axis=0)
+
+
+def rollback_replicas(batch, prev, fin: jax.Array, salt: int):
+    """Restore non-finite replicas' pre-chunk state; keep healthy ones.
+
+    ``fin`` is replica_finite(batch); where it is False the replica's
+    leaves are taken from ``prev`` (its state before the failed chunk) and
+    fresh noise is folded into its RNG key so the retry draws a different
+    trajectory instead of replaying the blow-up. Pure jnp.where over the
+    tree — no host transfer, works on sharded batches.
+    """
+    def sel(new, old):
+        m = fin.reshape(fin.shape + (1,) * (new.ndim - 1))
+        return jnp.where(m, new, old)
+    merged = jax.tree_util.tree_map(sel, batch, prev)
+    rekey = jax.vmap(lambda k: jax.random.fold_in(k, 7919 + salt))(merged.key)
+    return merged.replace(key=jnp.where(fin[:, None], merged.key, rekey))

@@ -45,40 +45,6 @@ def save_ckpt(path, batch, chunks_done, dG, W, bufw, tail_sum, tail_n):
     os.replace(path + ".tmp.npz", path)
 
 
-def make_replica_finite():
-    """Jitted (batch,) -> (R,) bool: every float leaf of each replica finite.
-
-    Failure detection for the vmapped walker batch (SURVEY.md §5.3): a
-    single walker can blow up (observed once at HEWL scale: replica pH 5.0
-    went NaN mid-run — positions parked by rebin, overflow flag tripping
-    every chunk) and would otherwise silently poison its bias table for
-    the rest of the run.
-    """
-    @jax.jit
-    def fin(batch):
-        cols = []
-        for leaf in jax.tree_util.tree_leaves(batch):
-            if jnp.issubdtype(leaf.dtype, jnp.floating):
-                cols.append(jnp.isfinite(leaf).all(
-                    axis=tuple(range(1, leaf.ndim))))
-        return jnp.stack(cols).all(axis=0)
-    return fin
-
-
-def rollback_replicas(batch, prev, fin, chunk_idx):
-    """Device-side per-replica rollback: where a replica went non-finite,
-    restore its pre-chunk state and fold fresh noise into its RNG key so
-    the retry draws a different trajectory. Healthy replicas keep their
-    advanced state."""
-    def sel(new, old):
-        m = fin.reshape(fin.shape + (1,) * (new.ndim - 1))
-        return jnp.where(m, new, old)
-    merged = jax.tree_util.tree_map(sel, batch, prev)
-    rekey = jax.vmap(lambda k: jax.random.fold_in(k, 7919 + chunk_idx))(
-        merged.key)
-    return merged.replace(key=jnp.where(fin[:, None], merged.key, rekey))
-
-
 def load_ckpt(path, template_batch, bufw):
     d = np.load(path)
     ck_bufw = int(d["bufw"]) if "bufw" in d.files else -1
@@ -296,9 +262,13 @@ def main():
     if wpp > 1:
         dep_groups = jax.jit(jax.vmap(
             lambda V, dV, seq: metad.deposit_many(V, dV, seq, mp)))
+    # per-replica failure detection + rollback (SURVEY.md §5.3): one NaN
+    # walker must not poison its bias table for the rest of the run
+    from constant_ph_tpu.parallel.replica import (replica_finite,
+                                                  rollback_replicas)
     n_overflow = 0
     n_rollback = 0
-    replica_finite = make_replica_finite()
+    replica_finite = jax.jit(replica_finite)
     for c in range(chunks_done, args.chunks):
         prev = batch                      # pre-chunk state (rollback source)
         batch, (ov_cap, ov_drift), obs = runv(batch)

@@ -79,3 +79,51 @@ def test_tiled_rex_block():
     assert bool(jnp.all(jnp.isfinite(obs.h_conserved)))
     np.testing.assert_array_equal(
         np.sort(np.asarray(batch.pH)), [3.0, 4.0, 5.0, 6.0])
+
+
+def test_replica_finite_and_rollback():
+    """Per-replica failure detection (SURVEY.md §5.3): a NaN walker is
+    detected, rolled back to its pre-chunk state with a reseeded key, and
+    healthy walkers keep their advanced state (int leaves included)."""
+    import dataclasses
+
+    from constant_ph_tpu.parallel.replica import (replica_finite,
+                                                  rollback_replicas)
+
+    @jax.tree_util.register_dataclass
+    @dataclasses.dataclass
+    class Batch:
+        x: jax.Array
+        step: jax.Array
+        key: jax.Array
+
+        def replace(self, **kw):
+            return dataclasses.replace(self, **kw)
+
+    R = 4
+    prev = Batch(x=jnp.ones((R, 5)),
+                 step=jnp.arange(R, dtype=jnp.int32),
+                 key=jax.vmap(jax.random.PRNGKey)(
+                     jnp.arange(R, dtype=jnp.uint32)))
+    new = Batch(x=(prev.x * 2).at[2, 3].set(jnp.nan),
+                step=prev.step + 1, key=prev.key)
+
+    fin = np.asarray(jax.jit(replica_finite)(new))
+    assert fin.tolist() == [True, True, False, True]
+
+    merged = rollback_replicas(new, prev, jnp.asarray(fin), salt=17)
+    # bad replica restored (float AND int leaves), healthy ones advanced
+    assert np.allclose(np.asarray(merged.x[2]), 1.0)
+    assert np.allclose(np.asarray(merged.x[1]), 2.0)
+    assert int(merged.step[2]) == 2 and int(merged.step[1]) == 2
+    # bad replica's key reseeded; healthy keys untouched
+    assert not np.array_equal(np.asarray(merged.key[2]),
+                              np.asarray(prev.key[2]))
+    assert np.array_equal(np.asarray(merged.key[1]),
+                          np.asarray(prev.key[1]))
+    # all-finite batch: rollback is the identity on state leaves
+    fin_ok = jnp.ones((R,), bool)
+    same = rollback_replicas(new, prev, fin_ok, salt=3)
+    assert np.array_equal(np.asarray(same.x), np.asarray(new.x),
+                          equal_nan=True)
+    assert np.array_equal(np.asarray(same.key), np.asarray(new.key))

@@ -72,6 +72,15 @@ def main():
     ap.add_argument("--chunks", type=int, default=200)
     ap.add_argument("--steps-per-chunk", type=int, default=1200)
     ap.add_argument("--cal-steps", type=int, default=3000)
+    ap.add_argument("--dg-ref", type=float, default=None,
+                    help="skip the quick TI calibration and use this "
+                         "dG_ref (kcal/mol). The in-driver 3 ps/node TI "
+                         "under-samples water reorganization around the "
+                         "spread-buffer charging sites by ~8 kcal/mol "
+                         "(measured round 3: quick TI -32.2 vs 8 ps/node "
+                         "-39.5, results/hewl_ti_recal*_v5e.json) — for "
+                         "production runs pass the long-TI constant from "
+                         "examples/recalibrate_hewl_ti.py")
     ap.add_argument("--eq-steps", type=int, default=400)
     ap.add_argument("--hill", type=float, default=0.4,
                     help="initial hill height h0 (kcal/mol)")
@@ -159,6 +168,11 @@ def main():
     if resume:
         hdr = np.load(args.ckpt)
         W_saved, dG = int(hdr["W"]), float(hdr["dG"])
+        if args.dg_ref is not None and abs(args.dg_ref - dG) > 1e-6:
+            raise SystemExit(
+                f"checkpoint was run at dG_ref={dG:.3f}; --dg-ref "
+                f"{args.dg_ref:.3f} is a different landscape — its bias "
+                f"tables are invalid. Delete {args.ckpt} to start fresh.")
         with jax.default_device(cpu):
             ts, tst = retile(ts, tst, W_saved)
         ts.spec = titration.apply_dG_ref(ts.spec, dG)
@@ -181,15 +195,20 @@ def main():
         log(f"equilibrated, occ={occ}, W={ts.params.W} "
             f"({time.time()-t0:.0f}s)")
 
-        cfg_cal = EngineConfig(dt=1.0, thermostat="langevin", T=300.0,
-                               gamma=0.01, lambda_thermostat="langevin",
-                               rebuild_every=12)
-        dG = titration.calibrate_dG_ref_tiled(
-            ts, tst, cfg_cal, bias=bias, site=0,
-            equil_steps=max(100, args.cal_steps // 6),
-            sample_steps=args.cal_steps)
-        ts.spec = titration.apply_dG_ref(ts.spec, dG)
-        log(f"TI dG_ref = {dG:.3f} kcal/mol ({time.time()-t0:.0f}s)")
+        if args.dg_ref is not None:
+            dG = args.dg_ref
+            ts.spec = titration.apply_dG_ref(ts.spec, dG)
+            log(f"using supplied dG_ref = {dG:.3f} kcal/mol")
+        else:
+            cfg_cal = EngineConfig(dt=1.0, thermostat="langevin", T=300.0,
+                                   gamma=0.01, lambda_thermostat="langevin",
+                                   rebuild_every=12)
+            dG = titration.calibrate_dG_ref_tiled(
+                ts, tst, cfg_cal, bias=bias, site=0,
+                equil_steps=max(100, args.cal_steps // 6),
+                sample_steps=args.cal_steps)
+            ts.spec = titration.apply_dG_ref(ts.spec, dG)
+            log(f"TI dG_ref = {dG:.3f} kcal/mol ({time.time()-t0:.0f}s)")
 
     # ---- one metadynamics walker per pH rung ----
     G = args.replicas                     # pH rungs (bias-sharing groups)

@@ -194,7 +194,10 @@ def make_mesh_walker_merge(mesh, axis: str, p: MetadParams):
     order-free, so the psum merge equals the serial frozen-base merge
     bit-for-bit up to float addition order."""
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map          # JAX >= 0.8 home
+    except ImportError:                    # older JAX
+        from jax.experimental.shard_map import shard_map
 
     def _local(V, dV, seq):
         # seq: (W_local, K, S) — fold this device's walkers into one

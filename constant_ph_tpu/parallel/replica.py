@@ -152,4 +152,7 @@ def rollback_replicas(batch, prev, fin: jax.Array, salt: int):
         return jnp.where(m, new, old)
     merged = jax.tree_util.tree_map(sel, batch, prev)
     rekey = jax.vmap(lambda k: jax.random.fold_in(k, 7919 + salt))(merged.key)
-    return merged.replace(key=jnp.where(fin[:, None], merged.key, rekey))
+    # reshape the mask like `sel` does — works for both old-style (R, 2)
+    # uint32 keys and new-style typed keys of shape (R,)
+    m = fin.reshape(fin.shape + (1,) * (merged.key.ndim - 1))
+    return merged.replace(key=jnp.where(m, merged.key, rekey))

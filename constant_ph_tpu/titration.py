@@ -42,12 +42,20 @@ def calibrate_dG_ref_tiled(
     site: int = 0,
     equil_steps: int = 500,
     sample_steps: int = 2000,
+    call_steps: int | None = None,
     nodes=None,
     weights=None,
     return_profile: bool = False,
 ):
     """TI calibration on the tiled engine. Returns ΔG_ref (and the λ-profile
     of ⟨dU/dλ⟩ if requested). The input tstate should be pre-equilibrated.
+
+    call_steps: split equilibration/sampling into jit calls of at most
+    this many steps (physics-identical; per-call ⟨dU/dλ⟩ means average
+    with equal weights since the calls are equal-length). The axon TPU
+    worker kills device programs running ~100 s in one XLA call (measured
+    round 3/4: a 16000-step HEWL call at ~6 ms/step dies, 8000-step calls
+    pass) — long protocols MUST chunk.
     """
     from constant_ph_tpu.engine import EngineConfig
     from constant_ph_tpu.lambda_dyn import BiasParams
@@ -60,16 +68,26 @@ def calibrate_dG_ref_tiled(
 
     cfg_frozen = dataclasses.replace(cfg, lambda_frozen=True)
     eng = TiledEngine(tsys, cfg_frozen, bias=bias, kspace_ep=kspace_ep)
-    run_eq = jax.jit(eng.make_run(equil_steps))
-    run_samp = jax.jit(eng.make_run(sample_steps))
+    if call_steps is None:
+        call_steps = max(equil_steps, sample_steps, 1)
+    eq_chunk = max(1, min(equil_steps, call_steps))
+    n_eq = -(-equil_steps // eq_chunk) if equil_steps else 0
+    samp_chunk = max(1, min(sample_steps, call_steps))
+    n_samp = -(-sample_steps // samp_chunk)
+    run_eq = jax.jit(eng.make_run(eq_chunk))
+    run_samp = jax.jit(eng.make_run(samp_chunk))
 
     means = []
     for lam_val in nodes:
         lam = jnp.full_like(tstate.lam, 0.0).at[site].set(float(lam_val))
         st = tstate.replace(lam=lam, v_lam=jnp.zeros_like(tstate.v_lam))
-        st, _, _ = run_eq(st)
-        st, _, obs = run_samp(st)
-        means.append(float(jnp.mean(obs.dUdlam[:, site])))
+        for _ in range(n_eq):
+            st, _, _ = run_eq(st)
+        acc = 0.0
+        for _ in range(n_samp):
+            st, _, obs = run_samp(st)
+            acc += float(jnp.mean(obs.dUdlam[:, site]))
+        means.append(acc / n_samp)
     dG = float(np.dot(weights, np.asarray(means)))
     if return_profile:
         return dG, (np.asarray(nodes), np.asarray(means))

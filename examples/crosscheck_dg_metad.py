@@ -1,0 +1,103 @@
+"""Cross-validate the long-TI dG_ref with the metadynamics calibrator.
+
+VERDICT r3 item 2: the campaign constant needs TWO independent methods
+agreeing. TI (examples/recalibrate_hewl_ti.py) integrates <dU/dlam> over
+frozen-lambda windows of site 0; this script installs the TI constant and
+runs titration.calibrate_dG_ref_metad on the SAME relaxed state — a
+well-tempered metadynamics run whose per-site basin free energies imply
+per-site dG_ref corrections. If TI is right, the returned per-site values
+scatter around the installed constant within the estimator's ~0.5 kcal/mol
+accuracy; a systematic offset means the methods disagree.
+
+  PYTHONPATH=/root/repo:$PYTHONPATH python examples/crosscheck_dg_metad.py \
+      --dg-ref -39.5 --steps 120000
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def log(msg):
+    print(f"# {msg}", file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dg-ref", type=float, default=-39.5,
+                    help="TI constant to install before the metad run")
+    ap.add_argument("--steps", type=int, default=120_000,
+                    help="metad steps at dt=2 (120k = 240 ps)")
+    ap.add_argument("--ckpt", default="examples/results/"
+                                      "metad_multisite_ckpt.npz")
+    ap.add_argument("--out", default="examples/results/"
+                                     "dg_crosscheck_metad_v5e.json")
+    args = ap.parse_args()
+
+    from constant_ph_tpu import titration
+    from constant_ph_tpu.engine import EngineConfig
+    from constant_ph_tpu.systems.protein import solvated_polypeptide
+    from constant_ph_tpu.tiled.layout import retile, split_system, to_tiled
+
+    t0 = time.time()
+    cpu = jax.local_devices(backend="cpu")[0]
+    # EXACT build of examples/titration_metad_multisite.py (bufw=16)
+    build = dict(n_residues=40, sites_every=2, box_len=66.0,
+                 water_spacing=3.1, cutoff=8.0, skin=0.8,
+                 coul_style="dsf", alpha=0.2, pH=5.0, dq_scale=1.0,
+                 n_buffer_waters=16)
+    with jax.default_device(cpu):
+        sys_ = solvated_polypeptide(**build)
+        ts = split_system(sys_, skin=0.8, tile_safety=1.72)
+        tst = to_tiled(ts, sys_.state)
+    ck = np.load(args.ckpt)
+    W = int(ck["W"])
+    with jax.default_device(cpu):
+        ts, tst = retile(ts, tst, W)
+    leaves, treedef = jax.tree_util.tree_flatten(tst)
+    n_saved = int(ck["n_leaves"])
+    assert n_saved <= len(leaves), "ckpt/layout mismatch"
+    new = [jnp.asarray(ck[f"leaf{i}"][0], leaves[i].dtype)
+           if i < n_saved else leaves[i]
+           for i in range(len(leaves))]
+    tst = jax.tree_util.tree_unflatten(treedef, new)
+    tst = jax.device_put(tst, jax.devices()[0])
+    log(f"{sys_.state.x.shape[0]} atoms, W={W}, resumed replica-0 solvent "
+        f"({time.time()-t0:.0f}s)")
+
+    ts.spec = titration.apply_dG_ref(ts.spec, args.dg_ref)
+    cfg = EngineConfig(dt=2.0, thermostat="langevin", T=300.0, gamma=0.002,
+                       lambda_thermostat="langevin", lambda_gamma=0.05,
+                       rebuild_every=12)
+    dg_sites = titration.calibrate_dG_ref_metad(
+        ts, tst, cfg, n_steps=args.steps)
+    dg_sites = np.asarray(dg_sites, np.float64)
+    med = float(np.median(dg_sites))
+    log(f"metad per-site dG_ref: median {med:.2f}, installed "
+        f"{args.dg_ref:.2f}, spread IQR "
+        f"{np.percentile(dg_sites, 75) - np.percentile(dg_sites, 25):.2f} "
+        f"({time.time()-t0:.0f}s)")
+    out = {
+        "installed_dG_ref_TI": args.dg_ref,
+        "metad_dG_ref_per_site": dg_sites.tolist(),
+        "median": med,
+        "offset_median_minus_TI": med - args.dg_ref,
+        "pK": np.asarray(sys_.spec.pK).tolist(),
+        "steps": args.steps,
+        "protocol": "calibrate_dG_ref_metad at pH 5.0 on the relaxed "
+                    "replica-0 state, dt=2 langevin, defaults",
+        "wall_s": time.time() - t0,
+    }
+    with open(args.out, "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps({"median": med, "offset": med - args.dg_ref}))
+
+
+if __name__ == "__main__":
+    main()

@@ -45,18 +45,27 @@ def save_ckpt(path, batch, chunks_done, dG, W, bufw, tail_sum, tail_n):
     os.replace(path + ".tmp.npz", path)
 
 
-def load_ckpt(path, template_batch, bufw):
+def load_ckpt(path, template_batch, bufw, n_groups):
     d = np.load(path)
     ck_bufw = int(d["bufw"]) if "bufw" in d.files else -1
     assert ck_bufw == bufw, (
         f"checkpoint was written with --buffer-waters {ck_bufw}, run "
         f"requests {bufw}: different physics, refusing to resume")
     leaves, treedef = jax.tree_util.tree_flatten(template_batch)
-    assert int(d["n_leaves"]) == len(leaves), "checkpoint/layout mismatch"
+    # forward-tolerant: state fields appended AFTER the checkpoint was
+    # written flatten at the tail (flax struct = dataclass field order)
+    # and keep their template values; fewer saved leaves than template
+    # leaves is fine, more is a real mismatch
+    n_saved = int(d["n_leaves"])
+    assert n_saved <= len(leaves), "checkpoint/layout mismatch"
     new = [jnp.asarray(d[f"leaf{i}"], leaves[i].dtype)
+           if i < n_saved else leaves[i]
            for i in range(len(leaves))]
+    tail_n = np.asarray(d["tail_n"])
+    if tail_n.ndim == 0:      # pre-round-4 checkpoints stored a scalar
+        tail_n = np.full(n_groups, int(tail_n))
     return (jax.tree_util.tree_unflatten(treedef, new), int(d["chunks_done"]),
-            np.asarray(d["tail_sum"]), int(d["tail_n"]))
+            np.asarray(d["tail_sum"]), tail_n)
 
 
 def main():
@@ -245,11 +254,13 @@ def main():
     batch = stack_replicas(reps)
     chunks_done = 0
     # tail-time-averaged basin fractions (DESIGN.md §8 rule b): sum of
-    # per-chunk deprotonated_fraction over chunks past the burn-in
-    tail_sum, tail_n = np.zeros((G, S)), 0
+    # per-chunk deprotonated_fraction over chunks past the burn-in.
+    # tail_n is PER pH GROUP: a rollback in one group must not skew the
+    # divisor of the healthy groups (advisor finding, round 3).
+    tail_sum, tail_n = np.zeros((G, S)), np.zeros(G, dtype=np.int64)
     if resume:
         batch, chunks_done, tail_sum, tail_n = load_ckpt(
-            args.ckpt, batch, args.buffer_waters)
+            args.ckpt, batch, args.buffer_waters, G)
         batch = jax.device_put(batch, dev)
         log(f"resumed at chunk {chunks_done} (tail_n={tail_n})")
     else:
@@ -288,19 +299,51 @@ def main():
     n_overflow = 0
     n_rollback = 0
     replica_finite = jax.jit(replica_finite)
-    for c in range(chunks_done, args.chunks):
+
+    def tail_frac(b):
+        """Current per-group deprotonated fractions off the bias tables."""
+        v_groups = b.metad_v.reshape(G, wpp, S, mp.nbins)[:, 0]
+        return np.asarray(metad.deprotonated_fraction(
+            v_groups.reshape(G * S, mp.nbins), mp)).reshape(G, S)
+
+    def write_report(chunks):
+        frac = np.where(tail_n[:, None] > 0,
+                        tail_sum / np.maximum(tail_n, 1)[:, None],
+                        tail_frac(batch))
+        out = _report(pks, pHs, frac, args, dG,
+                      int(sys_.state.x.shape[0]), n_overflow,
+                      time.time() - t0, chunks, mp, tail_n,
+                      n_rollback=n_rollback)
+        with open(args.out, "w") as fh:
+            json.dump(out, fh, indent=1)
+        return out
+
+    # c counts PRODUCTIVE (fully finite) chunks; a rollback retries the
+    # chunk instead of consuming it (advisor finding, round 3). The
+    # attempt cap bounds a persistently-diverging walker.
+    c = chunks_done
+    attempts = 0
+    max_attempts = 2 * (args.chunks - chunks_done) + 20
+    out = None
+    while c < args.chunks and attempts < max_attempts:
+        attempts += 1
         prev = batch                      # pre-chunk state (rollback source)
         batch, (ov_cap, ov_drift), obs = runv(batch)
-        fin = replica_finite(batch)
-        if not bool(fin.all()):
-            bad = np.where(~np.asarray(fin))[0].tolist()
+        fin = np.asarray(replica_finite(batch))
+        ok = bool(fin.all())
+        if not ok:
+            bad = np.where(~fin)[0].tolist()
             n_rollback += len(bad)
             log(f"chunk {c+1}: replicas {bad} non-finite -> "
                 f"rollback+reseed (total rollbacks {n_rollback})")
-            batch = rollback_replicas(batch, prev, fin, c)
-            continue                      # skip tally: bad walkers re-run
-        n_overflow += int(np.asarray(ov_cap).sum())
-        if wpp > 1:
+            batch = rollback_replicas(batch, prev, jnp.asarray(fin), c)
+        else:
+            n_overflow += int(np.asarray(ov_cap).sum())
+        # per-group bookkeeping: a group whose walkers all stayed finite
+        # keeps its chunk (hill merge + tail tally) even if another
+        # group rolled back (advisor finding: don't drop healthy groups)
+        grp_ok = fin.reshape(G, wpp).all(axis=1)          # (G,)
+        if wpp > 1 and grp_ok.any():
             # merge this chunk's hills per pH group: sub-sample each
             # walker's λ trace at the hill pace, interleave walkers
             # time-major, sequential-deposit into the shared table
@@ -310,32 +353,33 @@ def main():
             seq = seq.reshape(G, K * wpp, S)
             Vg = batch.metad_v.reshape(G, wpp, S, mp.nbins)[:, 0]
             dVg = batch.metad_dv.reshape(G, wpp, S, mp.nbins)[:, 0]
-            Vg, dVg = dep_groups(Vg, dVg, seq)
+            Vg_new, dVg_new = dep_groups(Vg, dVg, seq)
+            gm = jnp.asarray(grp_ok)[:, None, None]
+            Vg = jnp.where(gm, Vg_new, Vg)        # NaN traces never merge
+            dVg = jnp.where(gm, dVg_new, dVg)
             batch = batch.replace(
                 metad_v=jnp.repeat(Vg, wpp, axis=0),
                 metad_dv=jnp.repeat(dVg, wpp, axis=0))
-        if c + 1 > int(args.tail_burn * args.chunks):
-            v_groups = batch.metad_v.reshape(G, wpp, S, mp.nbins)[:, 0]
-            tail_sum += np.asarray(metad.deprotonated_fraction(
-                v_groups.reshape(G * S, mp.nbins), mp)).reshape(G, S)
-            tail_n += 1
-        if (c + 1) % args.ckpt_every == 0 or c == args.chunks - 1:
-            save_ckpt(args.ckpt, batch, c + 1, dG, ts.params.W,
+        if c + 1 > int(args.tail_burn * args.chunks) and grp_ok.any():
+            fr = tail_frac(batch)
+            tail_sum[grp_ok] += fr[grp_ok]
+            tail_n[grp_ok] += 1
+        if ok:
+            c += 1
+        # checkpoint on the cadence AND after rollbacks (the rolled-back
+        # state is valid; losing it to a worker crash wastes the retry)
+        if (ok and c % args.ckpt_every == 0) or c == args.chunks or not ok:
+            save_ckpt(args.ckpt, batch, c, dG, ts.params.W,
                       args.buffer_waters, tail_sum, tail_n)
-        if (c + 1) % 5 == 0 or c == args.chunks - 1:
-            v_groups = batch.metad_v.reshape(G, wpp, S, mp.nbins)[:, 0]
-            frac_now = np.asarray(metad.deprotonated_fraction(
-                v_groups.reshape(G * S, mp.nbins), mp)).reshape(G, S)
-            frac = tail_sum / tail_n if tail_n > 0 else frac_now
-            out = _report(pks, pHs, frac, args, dG,
-                          int(sys_.state.x.shape[0]), n_overflow,
-                          time.time() - t0, c + 1, mp, tail_n,
-                          n_rollback=n_rollback)
-            with open(args.out, "w") as fh:
-                json.dump(out, fh, indent=1)
-            log(f"chunk {c+1}/{args.chunks}: "
+        if ok and (c % 5 == 0 or c == args.chunks):
+            out = write_report(c)
+            log(f"chunk {c}/{args.chunks}: "
                 f"mad={out['summary']['mean_abs_dev']:.4f} "
                 f"overflow={n_overflow} ({time.time()-t0:.0f}s)")
+    if attempts >= max_attempts and c < args.chunks:
+        log(f"stopping after {attempts} attempts at chunk {c} "
+            f"(persistent rollbacks)")
+    out = out if out is not None and c >= args.chunks else write_report(c)
     log(f"done in {time.time()-t0:.0f}s -> {args.out}")
     print(json.dumps(out["summary"]))
 
@@ -360,7 +404,8 @@ def _report(pks, pHs, frac, args, dG, n_atoms, n_overflow, wall, chunks, mp,
                    "n_buffer_waters": args.buffer_waters,
                    "landscape": "Donnini Table-S2 default"},
         "estimator": ("tail-time-averaged basin fraction "
-                      f"(n={tail_n} chunks)" if tail_n
+                      f"(per-group n={np.asarray(tail_n).tolist()} chunks)"
+                      if np.any(np.asarray(tail_n) > 0)
                       else "final-snapshot basin fraction (burn-in)"),
         "metad": {"h0": args.hill, "sigma": args.sigma,
                   "gamma": args.gamma, "stride": args.stride,

@@ -34,6 +34,12 @@ def load(path: str, dtype=None) -> SystemState:
     data = np.load(path if str(path).endswith(".npz") else str(path) + ".npz")
     kwargs = {}
     for f in dataclasses.fields(SystemState):
+        if f.name not in data.files:
+            # forward-tolerant: scalar fields appended to SystemState
+            # after the checkpoint was written (e.g. ext_work) restart
+            # at zero — they are cumulative diagnostics, not dynamics
+            kwargs[f.name] = jnp.zeros((), dtype=dtype or jnp.float32)
+            continue
         arr = data[f.name]
         if f.name == "key":
             kwargs[f.name] = jnp.asarray(arr, dtype=jnp.uint32)

@@ -125,7 +125,19 @@ class Observables:
     temp: jax.Array
     ke_lam: jax.Array
     temp_lam: jax.Array
-    h_conserved: jax.Array   # E_tot: the H_λ-style conservation oracle
+    # E_tot − ext_work: the H_λ-style conservation oracle
+    # (fix_constant_pH.cpp:114). ext_work subtracts every accounted
+    # non-Hamiltonian injection (NHC/Langevin thermostat scalings, metad
+    # hill deposits), so bounded drift is expected in ALL modes — not
+    # just NVE. Force-cap events are NOT accounted (they are flagged by
+    # the overflow output instead). Under k-space impulse MTS the value
+    # is exact only where h_valid is True (reciprocal-boundary rows).
+    h_conserved: jax.Array
+    # True where h_conserved is an exact total (always, except
+    # off-boundary rows under kspace_every > 1, whose e_kspace is 0)
+    h_valid: jax.Array
+    # cumulative thermostat+metad energy injection (state.ext_work)
+    ext_work: jax.Array
     lam: jax.Array           # (S,)
     v_lam: jax.Array         # (S,)
     dUdlam: jax.Array        # (S,)
@@ -252,7 +264,9 @@ class Engine:
             e_lj=frc.e_lj, e_coul=frc.e_coul, e_bonded=frc.e_bonded,
             e_kspace=frc.e_kspace, e_site=frc.e_site,
             ke=ke, temp=temp, ke_lam=ke_lam, temp_lam=temp_lam,
-            h_conserved=frc.e_pot + ke + ke_lam,
+            h_conserved=frc.e_pot + ke + ke_lam - state.ext_work,
+            h_valid=jnp.array(True),
+            ext_work=state.ext_work,
             lam=state.lam, v_lam=state.v_lam, dUdlam=frc.dUdlam,
         )
 
@@ -293,19 +307,24 @@ class Engine:
         nhc_xi, nhc_lam_xi = state.nhc_xi, state.nhc_lam_xi
         ndof = 3 * x.shape[0] - 3 - self.n_constraints
         kT = units.BOLTZ * cfg.T
+        # ext_work accumulates the KE change of every thermostat operation
+        # (exact telescoping: the bath touches the system ONLY through
+        # velocity updates), making h_conserved a valid oracle under NHC
+        # and Langevin, not just NVE
+        ext_work = state.ext_work
 
         if use_nhc:
-            scale, nhc_xi = nhc_halfstep(
-                nhc_xi, 2.0 * kinetic_energy(v, ff.mass), ndof, kT, cfg.tau, dt
-            )
+            ke2 = 2.0 * kinetic_energy(v, ff.mass)
+            scale, nhc_xi = nhc_halfstep(nhc_xi, ke2, ndof, kT, cfg.tau, dt)
             v = v * scale
+            ext_work = ext_work + 0.5 * ke2 * (scale * scale - 1.0)
         if move_lam and cfg.lambda_thermostat == "nhc":
+            ke2l = 2.0 * lambda_dyn.lambda_kinetic(v_lam, self.spec)
             scale_l, nhc_lam_xi = nhc_halfstep(
-                nhc_lam_xi,
-                2.0 * lambda_dyn.lambda_kinetic(v_lam, self.spec),
-                self.n_sites, kT, cfg.lambda_tau, dt,
+                nhc_lam_xi, ke2l, self.n_sites, kT, cfg.lambda_tau, dt,
             )
             v_lam = v_lam * scale_l
+            ext_work = ext_work + 0.5 * ke2l * (scale_l * scale_l - 1.0)
 
         # B: half kick
         v = v + (0.5 * dt) * frc.f * inv_m
@@ -323,13 +342,22 @@ class Engine:
         if move_lam:
             lam = lam + (0.5 * dt) * v_lam
 
-        # O: thermostat (Langevin) — full dt OU update
+        # O: thermostat (Langevin) — full dt OU update. The OU heat
+        # (KE after − before) feeds ext_work: h_conserved then tracks the
+        # Langevin "effective energy" whose drift measures pure
+        # integration error (Leimkuhler–Matthews shadow-work diagnostic)
         if cfg.thermostat == "langevin":
+            ke_o0 = kinetic_energy(v, ff.mass)
             v = langevin_o_step(k_at, v, ff.mass, cfg.T, cfg.gamma, dt)
+            ext_work = ext_work + kinetic_energy(v, ff.mass) - ke_o0
         if move_lam and cfg.lambda_thermostat == "langevin":
+            kel_o0 = lambda_dyn.lambda_kinetic(v_lam, self.spec)
             v_lam = langevin_o_step(
                 k_lm, v_lam, self.spec.m_lambda, cfg.T, cfg.lambda_gamma, dt
             )
+            ext_work = (ext_work
+                        + lambda_dyn.lambda_kinetic(v_lam, self.spec)
+                        - kel_o0)
 
         # A: half drift
         x = x + (0.5 * dt) * v
@@ -351,17 +379,17 @@ class Engine:
             v_lam = v_lam + (0.5 * dt) * k2 * frc_new.f_lam * inv_ml
 
         if use_nhc:
-            scale, nhc_xi = nhc_halfstep(
-                nhc_xi, 2.0 * kinetic_energy(v, ff.mass), ndof, kT, cfg.tau, dt
-            )
+            ke2 = 2.0 * kinetic_energy(v, ff.mass)
+            scale, nhc_xi = nhc_halfstep(nhc_xi, ke2, ndof, kT, cfg.tau, dt)
             v = v * scale
+            ext_work = ext_work + 0.5 * ke2 * (scale * scale - 1.0)
         if move_lam and cfg.lambda_thermostat == "nhc":
+            ke2l = 2.0 * lambda_dyn.lambda_kinetic(v_lam, self.spec)
             scale_l, nhc_lam_xi = nhc_halfstep(
-                nhc_lam_xi,
-                2.0 * lambda_dyn.lambda_kinetic(v_lam, self.spec),
-                self.n_sites, kT, cfg.lambda_tau, dt,
+                nhc_lam_xi, ke2l, self.n_sites, kT, cfg.lambda_tau, dt,
             )
             v_lam = v_lam * scale_l
+            ext_work = ext_work + 0.5 * ke2l * (scale_l * scale_l - 1.0)
 
         # RATTLE: project constraint-violating velocity components
         if self.constraints is not None:
@@ -370,7 +398,7 @@ class Engine:
         new_state = state.replace(
             x=x, v=v, lam=lam, v_lam=v_lam,
             step=state.step + 1, key=key,
-            nhc_xi=nhc_xi, nhc_lam_xi=nhc_lam_xi,
+            nhc_xi=nhc_xi, nhc_lam_xi=nhc_lam_xi, ext_work=ext_work,
         )
         return new_state, frc_new
 

@@ -213,3 +213,38 @@ def make_mesh_walker_merge(mesh, axis: str, p: MetadParams):
         in_specs=(P(), P(), P(axis)),
         out_specs=(P(), P()),
     )
+
+
+def make_mesh_group_merge(mesh, axis: str, p: MetadParams):
+    """Batched variant of make_mesh_walker_merge for G pH groups at once.
+
+    Returns merge(V, dV, seq) where V/dV are (G, S, nbins) shared tables
+    REPLICATED over `axis` and seq is (G, W, K, S) per-walker λ snapshots
+    with the WALKER axis sharded over `axis` (W % mesh size == 0). One
+    shard_map call → one psum pair per chunk for ALL pH groups (the
+    campaign driver's MPI_Allreduce analog, fix_constant_pH.cpp:274),
+    instead of G sequential collectives. Frozen-base deltas are order-free,
+    so the result equals the serial deposit_frozen merge up to float
+    addition order."""
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax import shard_map          # JAX >= 0.8 home
+    except ImportError:                    # older JAX
+        from jax.experimental.shard_map import shard_map
+
+    def _local(V, dV, seq):
+        # V/dV: (G, S, nbins); seq: (G, W_local, K, S)
+        def fold(Vg, dVg, sg):
+            flat = sg.reshape(-1, sg.shape[-1])
+            return deposit_frozen(Vg, dVg, flat, p)
+
+        dVt, ddVt = jax.vmap(fold)(V, dV, seq)
+        dVt = jax.lax.psum(dVt, axis)
+        ddVt = jax.lax.psum(ddVt, axis)
+        return V + dVt, dV + ddVt
+
+    return shard_map(
+        _local, mesh=mesh,
+        in_specs=(P(), P(), P(None, axis)),
+        out_specs=(P(), P()),
+    )

@@ -64,4 +64,5 @@ def shard_tiled_state(tstate: TiledState, mesh: Mesh, params: TileParams,
         phi_recip_s=place(tstate.phi_recip_s, rep),
         metad_v=place(tstate.metad_v, rep),
         metad_dv=place(tstate.metad_dv, rep),
+        ext_work=place(tstate.ext_work, rep),
     )

@@ -36,6 +36,12 @@ class SystemState:
     # Nosé–Hoover chain state (zeros when unused)
     nhc_xi: jax.Array     # (M,) atom-thermostat chain velocities
     nhc_lam_xi: jax.Array # (M,) λ-thermostat chain velocities
+    # () cumulative NON-Hamiltonian energy injected into the system:
+    # thermostat velocity scalings (NHC + Langevin O-steps, atoms and λ)
+    # and metadynamics hill deposits. Subtracting it makes h_conserved a
+    # valid conservation oracle in EVERY mode (the reference's H_λ is
+    # exactly such a diagnostic, fix_constant_pH.cpp:114), not just NVE.
+    ext_work: jax.Array
 
 
 def make_state(
@@ -69,6 +75,7 @@ def make_state(
         pH=jnp.asarray(pH, dtype=dtype),
         nhc_xi=jnp.zeros((nhc_len,), dtype=dtype),
         nhc_lam_xi=jnp.zeros((nhc_len,), dtype=dtype),
+        ext_work=jnp.zeros((), dtype=dtype),
     )
 
 

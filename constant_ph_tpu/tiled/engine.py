@@ -360,11 +360,21 @@ class TiledEngine:
         else:
             ke_lam = jnp.zeros((), st.sx.dtype)
             temp_lam = jnp.zeros((), st.sx.dtype)
+        # h_conserved is exact only on k-space boundary rows under
+        # impulse MTS (off-boundary rows report e_kspace = 0 — see
+        # compute_forces); h_valid masks them so downstream
+        # conserved-quantity checks need no knowledge of kspace_every
+        k_ev = self.cfg.kspace_every
+        if self.kspace_ep is None or k_ev == 1:
+            h_valid = jnp.array(True)
+        else:
+            h_valid = (st.step % k_ev) == 0
         return Observables(
             e_pot=frc.e_pot, e_lj=frc.e_lj, e_coul=frc.e_coul,
             e_bonded=frc.e_bonded, e_kspace=frc.e_kspace, e_site=frc.e_site,
             ke=ke, temp=temp, ke_lam=ke_lam, temp_lam=temp_lam,
-            h_conserved=frc.e_pot + ke + ke_lam,
+            h_conserved=frc.e_pot + ke + ke_lam - st.ext_work,
+            h_valid=h_valid, ext_work=st.ext_work,
             lam=st.lam, v_lam=st.v_lam, dUdlam=frc.dUdlam,
         )
 
@@ -431,18 +441,31 @@ class TiledEngine:
         use_nhc = cfg.thermostat == "nhc"
         nhc_xi, nhc_lam_xi = st.nhc_xi, st.nhc_lam_xi
         kT = units.BOLTZ * cfg.T
+        # cumulative thermostat energy injection (see SystemState.ext_work):
+        # exact KE telescoping makes h_conserved an oracle in every mode
+        ext_work = st.ext_work
+
+        def ke_vel(wv_, sv_):
+            ke_w = 0.5 * units.MVV2E * jnp.sum(
+                self.wmass[None, None, :] * wv_ * wv_ * vm_atoms)
+            ke_s = 0.5 * units.MVV2E * jnp.sum(
+                ts.solute.mass[:, None] * sv_ * sv_
+                * ts.solute.smask[:, None])
+            return ke_w + ke_s
 
         if use_nhc:
-            ke2 = 2.0 * self.kinetic_energy(st)
+            ke2 = 2.0 * ke_vel(wv, sv)
             scale, nhc_xi = nhc_halfstep(nhc_xi, ke2, self.ndof, kT,
                                          cfg.tau, dt)
             wv = wv * scale
             sv = sv * scale
+            ext_work = ext_work + 0.5 * ke2 * (scale * scale - 1.0)
         if move_lam and cfg.lambda_thermostat == "nhc":
+            ke2l = 2.0 * lambda_dyn.lambda_kinetic(v_lam, ts.spec)
             scale_l, nhc_lam_xi = nhc_halfstep(
-                nhc_lam_xi, 2.0 * lambda_dyn.lambda_kinetic(v_lam, ts.spec),
-                self.n_sites, kT, cfg.lambda_tau, dt)
+                nhc_lam_xi, ke2l, self.n_sites, kT, cfg.lambda_tau, dt)
             v_lam = v_lam * scale_l
+            ext_work = ext_work + 0.5 * ke2l * (scale_l * scale_l - 1.0)
 
         # B
         wv = wv + (0.5 * dt) * frc.fw * inv_mw * vm_atoms
@@ -462,8 +485,10 @@ class TiledEngine:
         if move_lam:
             lam = lam + (0.5 * dt) * v_lam
 
-        # O (Langevin OU)
+        # O (Langevin OU) — the OU heat (KE after − before) feeds
+        # ext_work so h_conserved tracks the Langevin effective energy
         if cfg.thermostat == "langevin":
+            ke_o0 = ke_vel(wv, sv)
             c1 = jnp.exp(-cfg.gamma * dt)
             sig_w = jnp.sqrt((1.0 - c1 * c1) * kT
                              / (self.wmass * units.MVV2E))[None, None, :]
@@ -473,12 +498,17 @@ class TiledEngine:
                              / (ts.solute.mass * units.MVV2E))[:, None]
             sv = c1 * sv + sig_s * ts.solute.smask[:, None] \
                 * jax.random.normal(ks_, sv.shape, dtype=dtype)
+            ext_work = ext_work + ke_vel(wv, sv) - ke_o0
         if move_lam and cfg.lambda_thermostat == "langevin":
+            kel_o0 = lambda_dyn.lambda_kinetic(v_lam, ts.spec)
             c1l = jnp.exp(-cfg.lambda_gamma * dt)
             sig_l = jnp.sqrt((1.0 - c1l * c1l) * kT
                              / (ts.spec.m_lambda * units.MVV2E))
             v_lam = c1l * v_lam + sig_l * jax.random.normal(
                 kl, v_lam.shape, dtype=dtype)
+            ext_work = (ext_work
+                        + lambda_dyn.lambda_kinetic(v_lam, ts.spec)
+                        - kel_o0)
 
         # A
         wx = wx + (0.5 * dt) * wv
@@ -511,17 +541,18 @@ class TiledEngine:
             v_lam = v_lam + (0.5 * dt) * k2 * frc_new.f_lam * inv_ml
 
         if use_nhc:
-            st_tmp = st.replace(wv=wv, sv=sv)
-            ke2 = 2.0 * self.kinetic_energy(st_tmp)
+            ke2 = 2.0 * ke_vel(wv, sv)
             scale, nhc_xi = nhc_halfstep(nhc_xi, ke2, self.ndof, kT,
                                          cfg.tau, dt)
             wv = wv * scale
             sv = sv * scale
+            ext_work = ext_work + 0.5 * ke2 * (scale * scale - 1.0)
         if move_lam and cfg.lambda_thermostat == "nhc":
+            ke2l = 2.0 * lambda_dyn.lambda_kinetic(v_lam, ts.spec)
             scale_l, nhc_lam_xi = nhc_halfstep(
-                nhc_lam_xi, 2.0 * lambda_dyn.lambda_kinetic(v_lam, ts.spec),
-                self.n_sites, kT, cfg.lambda_tau, dt)
+                nhc_lam_xi, ke2l, self.n_sites, kT, cfg.lambda_tau, dt)
             v_lam = v_lam * scale_l
+            ext_work = ext_work + 0.5 * ke2l * (scale_l * scale_l - 1.0)
 
         # RATTLE
         wv = self.shake.velocities(wx, wv, st.box, st.wvalid)
@@ -530,7 +561,7 @@ class TiledEngine:
 
         return st_new.replace(
             wv=wv, sv=sv, v_lam=v_lam, key=key,
-            nhc_xi=nhc_xi, nhc_lam_xi=nhc_lam_xi,
+            nhc_xi=nhc_xi, nhc_lam_xi=nhc_lam_xi, ext_work=ext_work,
         ), frc_new
 
     # -- minimization (FIRE on tiles, constraints enforced every move) --------
@@ -677,7 +708,15 @@ class TiledEngine:
                             vs[0], vs[1], st.lam, self.metad),
                         lambda vs: vs,
                         (st.metad_v, st.metad_dv))
-                    st = st.replace(metad_v=mv, metad_dv=mdv)
+                    # the deposit raises e_site by ΔV(λ) discontinuously;
+                    # account it in ext_work so h_conserved stays an
+                    # oracle during active-deposit runs (no-op when the
+                    # cond did not fire: mv == st.metad_v)
+                    dV = (metad_mod.lookup(mv, mdv, st.lam, self.metad)[0]
+                          - metad_mod.lookup(st.metad_v, st.metad_dv,
+                                             st.lam, self.metad)[0])
+                    st = st.replace(metad_v=mv, metad_dv=mdv,
+                                    ext_work=st.ext_work + jnp.sum(dV))
                 return (st, ov_cap, ov_drift), obs
 
             (st, ov_cap, ov_drift), obs = jax.lax.scan(

@@ -75,6 +75,11 @@ class TiledState:
     # the dynamic state because the bias is history-dependent.
     metad_v: jax.Array
     metad_dv: jax.Array
+    # () cumulative non-Hamiltonian energy injected by thermostats
+    # (NHC scalings + Langevin O-steps) and metad deposits — see
+    # SystemState.ext_work. KEEP LAST: checkpoint loaders are
+    # forward-tolerant by flatten order (tail fields default).
+    ext_work: jax.Array
 
 
 @struct.dataclass
@@ -409,6 +414,7 @@ def to_tiled(ts: TiledSystem, state: SystemState) -> TiledState:
         phi_recip_s=jnp.zeros((Ns,), dtype=dtype),
         metad_v=jnp.zeros((0, 0), dtype=dtype),
         metad_dv=jnp.zeros((0, 0), dtype=dtype),
+        ext_work=state.ext_work,
     )
 
 
@@ -440,6 +446,7 @@ def to_canonical(ts: TiledSystem, tstate: TiledState) -> SystemState:
         box=tstate.box, lam=tstate.lam, v_lam=tstate.v_lam,
         step=tstate.step, key=tstate.key, pH=tstate.pH,
         nhc_xi=tstate.nhc_xi, nhc_lam_xi=tstate.nhc_lam_xi,
+        ext_work=tstate.ext_work,
     )
 
 

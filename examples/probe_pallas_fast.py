@@ -8,6 +8,7 @@ this probe is the honest measurement.
 """
 from __future__ import annotations
 
+import json
 import sys
 import time
 
@@ -83,6 +84,14 @@ def main():
     log(f"water-water block: XLA {t_x:.3f} ms   Pallas {t_p:.3f} ms "
         f"({t_p / t_x:.2f}x)")
 
+    out = {
+        "system": "24001-atom solvated acid, rigid SPC/E, DSF rc=8, "
+                  f"grid {list(p.grid)}, W={p.W}",
+        "parity": {"dE": de, "max_df_rel": df / fscale},
+        "block_ms": {"xla": t_x, "pallas_fast": t_p,
+                     "ratio_pallas_over_xla": t_p / t_x},
+        "full_step": {},
+    }
     cfg = EngineConfig(dt=2.0, thermostat="langevin", T=300.0, gamma=0.002,
                        lambda_thermostat="langevin", rebuild_every=12)
     for name, flag in (("xla", False), ("pallas-fast", "fast")):
@@ -98,6 +107,11 @@ def main():
         ms = (time.perf_counter() - t0) / (30 * 12) * 1e3
         log(f"full step [{name}]: {ms:.3f} ms/step  {2.0 * 86.4 / ms:.1f} "
             f"ns/day (finite={bool(jnp.isfinite(ob.h_conserved).all())})")
+        out["full_step"][name] = {"ms_per_step": ms,
+                                  "ns_per_day": 2.0 * 86.4 / ms}
+    with open("examples/results/pallas_fast_probe_v5e.json", "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps(out["block_ms"]))
 
 
 if __name__ == "__main__":

@@ -58,6 +58,11 @@ def load_ckpt(path, template_batch, bufw, n_groups):
     # leaves is fine, more is a real mismatch
     n_saved = int(d["n_leaves"])
     assert n_saved <= len(leaves), "checkpoint/layout mismatch"
+    if d["leaf0"].shape != leaves[0].shape:
+        raise SystemExit(
+            f"checkpoint batch shape {d['leaf0'].shape} != run template "
+            f"{leaves[0].shape} (different --replicas/--walkers-per-ph or "
+            f"tile layout) — delete {path} to start fresh")
     new = [jnp.asarray(d[f"leaf{i}"], leaves[i].dtype)
            if i < n_saved else leaves[i]
            for i in range(len(leaves))]
@@ -76,6 +81,16 @@ def main():
                     help=">1 enables multiple-walkers metadynamics: "
                          "same-pH walkers share one bias table (hills "
                          "merged per chunk, delayed-bias scheme)")
+    ap.add_argument("--mesh-walkers", type=int, default=0,
+                    help=">1 runs the per-chunk hill merge as ONE "
+                         "shard_map+psum collective over an N-device "
+                         "mesh (metad.make_mesh_group_merge — the "
+                         "MPI_Allreduce analog, fix_constant_pH.cpp:274) "
+                         "and shards the replica batch over the same "
+                         "mesh. Requires --walkers-per-ph > 1 and "
+                         "replicas*walkers divisible by N. Frozen-base "
+                         "deltas (order-free) instead of the sequential "
+                         "in-host merge")
     ap.add_argument("--ph-min", type=float, default=3.0)
     ap.add_argument("--ph-max", type=float, default=7.0)
     ap.add_argument("--chunks", type=int, default=200)
@@ -130,6 +145,18 @@ def main():
                                      "titration_metad_multisite_v5e.json")
     ap.add_argument("--ckpt", default="examples/results/"
                                       "metad_multisite_ckpt.npz")
+    ap.add_argument("--init-atoms-from", default=None,
+                    help="adopt the ATOMIC state (solvent + solute "
+                         "coords/velocities) of an existing campaign "
+                         "checkpoint instead of re-equilibrating from "
+                         "the procedural build — fresh λ walkers, fresh "
+                         "bias tables, the supplied --dg-ref. Water "
+                         "reorganization around charging sites relaxes "
+                         "over >100 ps (round-3 finding: quick TI from a "
+                         "fresh build mis-calibrated by ~7 kcal/mol), so "
+                         "restarting a corrected-landscape campaign from "
+                         "relaxed solvent skips that burn-in. Replica "
+                         "counts must match")
     ap.add_argument("--ckpt-every", type=int, default=10)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--small", action="store_true")
@@ -174,7 +201,23 @@ def main():
                            gamma=args.gamma, stride=args.stride, T=300.0)
 
     resume = os.path.exists(args.ckpt)
-    if resume:
+    init_src = args.init_atoms_from
+    if init_src and not resume:
+        # adopt the tile layout of the source checkpoint; atoms are
+        # copied into the fresh batch after stacking (below)
+        if args.dg_ref is None:
+            raise SystemExit("--init-atoms-from needs an explicit "
+                             "--dg-ref (the whole point is installing a "
+                             "corrected landscape on relaxed solvent)")
+        hdr = np.load(init_src)
+        W_saved = int(hdr["W"])
+        with jax.default_device(cpu):
+            ts, tst = retile(ts, tst, W_saved)
+        dG = args.dg_ref
+        ts.spec = titration.apply_dG_ref(ts.spec, dG)
+        log(f"init atoms from {init_src}: W={W_saved}, fresh landscape "
+            f"at dG_ref={dG:.3f}")
+    elif resume:
         hdr = np.load(args.ckpt)
         W_saved, dG = int(hdr["W"]), float(hdr["dG"])
         if args.dg_ref is not None and abs(args.dg_ref - dG) > 1e-6:
@@ -263,6 +306,24 @@ def main():
             args.ckpt, batch, args.buffer_waters, G)
         batch = jax.device_put(batch, dev)
         log(f"resumed at chunk {chunks_done} (tail_n={tail_n})")
+    elif init_src:
+        src = np.load(init_src)
+        R_src = int(src["leaf0"].shape[0])
+        if R_src != R:
+            raise SystemExit(f"--init-atoms-from has {R_src} replicas, "
+                             f"run wants {R}")
+        batch_src, _, _, _ = load_ckpt(init_src, batch,
+                                       args.buffer_waters, G)
+        # relaxed solvent + solute, everything else fresh (λ walkers,
+        # bias tables, keys, dG landscape set above)
+        batch = batch.replace(
+            wx=batch_src.wx, wv=batch_src.wv, wvalid=batch_src.wvalid,
+            wid=batch_src.wid, sx=batch_src.sx, sv=batch_src.sv,
+            box=batch_src.box)
+        batch = jax.device_put(batch, dev)
+        save_ckpt(args.ckpt, batch, 0, dG, ts.params.W,
+                  args.buffer_waters, tail_sum, tail_n)
+        log("adopted relaxed atoms; wrote chunk-0 checkpoint")
     else:
         # checkpoint the equilibrated+calibrated state BEFORE the first
         # chunk: the axon TPU worker can crash within minutes (observed
@@ -289,6 +350,27 @@ def main():
         ov_d = jnp.stack(drifts).any(axis=0)
         obs = obs.replace(lam=jnp.concatenate(lams, axis=1))
         return b, (ov_c, ov_d), obs
+    mesh_merge = None
+    if args.mesh_walkers > 1:
+        from jax.sharding import Mesh, NamedSharding
+        from jax.sharding import PartitionSpec as P
+        D = args.mesh_walkers
+        if wpp <= 1:
+            raise SystemExit("--mesh-walkers needs --walkers-per-ph > 1")
+        if wpp % D:
+            raise SystemExit("--mesh-walkers must divide --walkers-per-ph")
+        devs = jax.devices()
+        if len(devs) < D:
+            raise SystemExit(f"--mesh-walkers {D} but only {len(devs)} "
+                             f"devices visible")
+        mesh = Mesh(np.array(devs[:D]), ("walk",))
+        mesh_merge = jax.jit(metad.make_mesh_group_merge(mesh, "walk", mp))
+        if R % D == 0:
+            # shard the replica batch too: the vmapped run then executes
+            # SPMD over the mesh (GSPMD partitions the leading axis)
+            batch = jax.device_put(
+                batch, NamedSharding(mesh, P("walk")))
+        log(f"mesh walkers: {D}-device hill-merge collective")
     if wpp > 1:
         dep_groups = jax.jit(jax.vmap(
             lambda V, dV, seq: metad.deposit_many(V, dV, seq, mp)))
@@ -345,15 +427,21 @@ def main():
         grp_ok = fin.reshape(G, wpp).all(axis=1)          # (G,)
         if wpp > 1 and grp_ok.any():
             # merge this chunk's hills per pH group: sub-sample each
-            # walker's λ trace at the hill pace, interleave walkers
-            # time-major, sequential-deposit into the shared table
+            # walker's λ trace at the hill pace, then either (a) one
+            # cross-device psum collective on frozen-base deltas
+            # (--mesh-walkers) or (b) interleave walkers time-major and
+            # sequential-deposit into the shared table (in-host)
             lam_tr = obs.lam[:, mp.stride - 1::mp.stride]   # (R, K, S)
             K = lam_tr.shape[1]
-            seq = lam_tr.reshape(G, wpp, K, S).transpose(0, 2, 1, 3)
-            seq = seq.reshape(G, K * wpp, S)
             Vg = batch.metad_v.reshape(G, wpp, S, mp.nbins)[:, 0]
             dVg = batch.metad_dv.reshape(G, wpp, S, mp.nbins)[:, 0]
-            Vg_new, dVg_new = dep_groups(Vg, dVg, seq)
+            if mesh_merge is not None:
+                seq4 = lam_tr.reshape(G, wpp, K, S)
+                Vg_new, dVg_new = mesh_merge(Vg, dVg, seq4)
+            else:
+                seq = lam_tr.reshape(G, wpp, K, S).transpose(0, 2, 1, 3)
+                seq = seq.reshape(G, K * wpp, S)
+                Vg_new, dVg_new = dep_groups(Vg, dVg, seq)
             gm = jnp.asarray(grp_ok)[:, None, None]
             Vg = jnp.where(gm, Vg_new, Vg)        # NaN traces never merge
             dVg = jnp.where(gm, dVg_new, dVg)

@@ -358,3 +358,41 @@ def test_mesh_walker_merge_matches_serial_frozen_merge():
     # frozen heights are upper bounds; with 16 hills of h≤0.3 the lag is
     # bounded by a fraction of one hill height
     assert lag < 0.5 * p.h0 * W * K * 0.1 + 0.05, lag
+
+
+def test_mesh_group_merge_matches_serial_frozen_merge():
+    """The one-collective G-group batched mesh merge (the campaign
+    driver's --mesh-walkers path) must equal the per-group serial
+    frozen-base merge: group tables are independent, walker deltas are
+    order-free, psum only sums the walker axis."""
+    from jax.sharding import Mesh
+
+    G, S, W, K = 3, 2, 4, 2
+    p = metad.MetadParams(nbins=81, sigma=0.05, h0=0.3, gamma=12.0,
+                          stride=10)
+    rng = np.random.default_rng(11)
+    Vs, dVs = [], []
+    for g in range(G):
+        V, dV = metad.init_tables(S, p)
+        warm = jnp.asarray(
+            rng.uniform(0.1, 0.9, (10 + 5 * g, S)).astype(np.float32))
+        V, dV = metad.deposit_many(V, dV, warm, p)
+        Vs.append(V)
+        dVs.append(dV)
+    Vg = jnp.stack(Vs)
+    dVg = jnp.stack(dVs)
+    seq = jnp.asarray(rng.uniform(0.0, 1.0, (G, W, K, S)).astype(np.float32))
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("walk",))
+    merge = metad.make_mesh_group_merge(mesh, "walk", p)
+    Vm, dVm = jax.jit(merge)(Vg, dVg, seq)
+
+    for g in range(G):
+        dVt, ddVt = metad.deposit_frozen(Vs[g], dVs[g],
+                                         seq[g].reshape(-1, S), p)
+        np.testing.assert_allclose(np.asarray(Vm[g]),
+                                   np.asarray(Vs[g] + dVt),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(dVm[g]),
+                                   np.asarray(dVs[g] + ddVt),
+                                   rtol=1e-4, atol=1e-4)

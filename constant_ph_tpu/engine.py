@@ -347,9 +347,17 @@ class Engine:
         # Langevin "effective energy" whose drift measures pure
         # integration error (Leimkuhler–Matthews shadow-work diagnostic)
         if cfg.thermostat == "langevin":
-            ke_o0 = kinetic_energy(v, ff.mass)
+            # heat measured on constraint-projected COPIES (dynamics
+            # untouched) — see tiled/engine.py step for why raw ΔKE
+            # mis-books kick/noise components the constraints remove
+            def _ke_p(v_):
+                if self.constraints is not None:
+                    v_ = self.constraints.velocities(x, v_, state.box)
+                return kinetic_energy(v_, ff.mass)
+
+            ke_o0 = _ke_p(v)
             v = langevin_o_step(k_at, v, ff.mass, cfg.T, cfg.gamma, dt)
-            ext_work = ext_work + kinetic_energy(v, ff.mass) - ke_o0
+            ext_work = ext_work + _ke_p(v) - ke_o0
         if move_lam and cfg.lambda_thermostat == "langevin":
             kel_o0 = lambda_dyn.lambda_kinetic(v_lam, self.spec)
             v_lam = langevin_o_step(

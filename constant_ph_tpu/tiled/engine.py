@@ -485,10 +485,26 @@ class TiledEngine:
         if move_lam:
             lam = lam + (0.5 * dt) * v_lam
 
-        # O (Langevin OU) — the OU heat (KE after − before) feeds
-        # ext_work so h_conserved tracks the Langevin effective energy
+        # O (Langevin OU) — the OU heat feeds ext_work so h_conserved
+        # tracks the Langevin effective energy. The heat is measured on
+        # CONSTRAINT-PROJECTED COPIES of the velocities (dynamics
+        # untouched): raw ΔKE would book (a) the B-kick's large
+        # deterministic constraint-violating components (which end-of-
+        # step RATTLE removes every step, Langevin or not — they cancel
+        # between the two projected measurements) and (b) the noise
+        # injected along constraint directions (which SHAKE/RATTLE also
+        # removes before it ever reaches the tracked energy) — both
+        # would leak h_conserved by ~tens of kcal/mol/step (measured;
+        # tests/test_conserved.py).
         if cfg.thermostat == "langevin":
-            ke_o0 = ke_vel(wv, sv)
+
+            def ke_proj(wv_, sv_):
+                wv_p = self.shake.velocities(wx, wv_, st.box, st.wvalid)
+                sv_p = (ts.solute_constraints.velocities(sx, sv_, st.box)
+                        if ts.solute_constraints is not None else sv_)
+                return ke_vel(wv_p, sv_p)
+
+            ke_o0 = ke_proj(wv, sv)
             c1 = jnp.exp(-cfg.gamma * dt)
             sig_w = jnp.sqrt((1.0 - c1 * c1) * kT
                              / (self.wmass * units.MVV2E))[None, None, :]
@@ -498,7 +514,7 @@ class TiledEngine:
                              / (ts.solute.mass * units.MVV2E))[:, None]
             sv = c1 * sv + sig_s * ts.solute.smask[:, None] \
                 * jax.random.normal(ks_, sv.shape, dtype=dtype)
-            ext_work = ext_work + ke_vel(wv, sv) - ke_o0
+            ext_work = ext_work + ke_proj(wv, sv) - ke_o0
         if move_lam and cfg.lambda_thermostat == "langevin":
             kel_o0 = lambda_dyn.lambda_kinetic(v_lam, ts.spec)
             c1l = jnp.exp(-cfg.lambda_gamma * dt)

@@ -34,6 +34,14 @@ def main():
                     help="TI constant to install before the metad run")
     ap.add_argument("--steps", type=int, default=120_000,
                     help="metad steps at dt=2 (120k = 240 ps)")
+    ap.add_argument("--gamma", type=float, default=30.0,
+                    help="WT factor — MUST exceed 1 + F_barrier/kT; the "
+                         "library default (15) never crossed the 16-buffer "
+                         "full-dq landscape (round-4 measurement: 13/20 "
+                         "sites pinned at -inf after 240 ps)")
+    ap.add_argument("--sigma", type=float, default=0.05)
+    ap.add_argument("--hill", type=float, default=0.4)
+    ap.add_argument("--stride", type=int, default=48)
     ap.add_argument("--ckpt", default="examples/results/"
                                       "metad_multisite_ckpt.npz")
     ap.add_argument("--out", default="examples/results/"
@@ -75,8 +83,12 @@ def main():
     cfg = EngineConfig(dt=2.0, thermostat="langevin", T=300.0, gamma=0.002,
                        lambda_thermostat="langevin", lambda_gamma=0.05,
                        rebuild_every=12)
+    from constant_ph_tpu import metad as metad_mod
+    mp = metad_mod.MetadParams(nbins=241, sigma=args.sigma, h0=args.hill,
+                               gamma=args.gamma, stride=args.stride,
+                               T=300.0)
     dg_sites = titration.calibrate_dG_ref_metad(
-        ts, tst, cfg, n_steps=args.steps)
+        ts, tst, cfg, n_steps=args.steps, metad_params=mp)
     dg_sites = np.asarray(dg_sites, np.float64)
     med = float(np.median(dg_sites))
     log(f"metad per-site dG_ref: median {med:.2f}, installed "

@@ -36,6 +36,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=480)
     ap.add_argument("--rebuild-every", type=int, default=12)
+    ap.add_argument("--pme", action="store_true",
+                    help="full electrostatics: smooth PME (alpha=0.30, "
+                         "p=6) + kspace_every impulse MTS — the bench.py "
+                         "headline config, here driven from a data file")
+    ap.add_argument("--kspace-every", type=int, default=2)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--deck", default="/tmp/hewl_like.data")
@@ -56,9 +61,13 @@ def main():
     t0 = time.time()
     cpu = jax.local_devices(backend="cpu")[0]
 
+    # PME pairs Ewald-screened real space (coul_style="cut" + alpha=0.30)
+    # with the reciprocal mesh; DSF is self-contained at alpha=0.2
+    style = dict(coul_style="cut", alpha=0.30) if args.pme else \
+        dict(coul_style="dsf", alpha=0.2)
     build = dict(n_residues=40, sites_every=2, box_len=66.0,
                  water_spacing=3.1, cutoff=8.0, skin=0.8,
-                 coul_style="dsf", alpha=0.2, pH=5.0)
+                 pH=5.0, **style)
     if args.small:
         build.update(n_residues=8, box_len=26.0, water_spacing=3.4,
                      cutoff=6.0, skin=1.2)
@@ -82,8 +91,9 @@ def main():
     with jax.default_device(cpu):
         sys_ = system_from_lammps_data(
             args.deck, cutoff=build["cutoff"], skin=build["skin"],
-            coul_style="dsf", alpha=0.2, rigid_water_types=(6, 7),
-            titratable_sites=sites_from_json(sidecar), pH=build["pH"])
+            rigid_water_types=(6, 7),
+            titratable_sites=sites_from_json(sidecar), pH=build["pH"],
+            **style)
         ts = split_system(sys_, skin=build["skin"], tile_safety=1.72)
         tst = to_tiled(ts, sys_.state)
     n_atoms = sys_.state.x.shape[0]
@@ -93,11 +103,22 @@ def main():
     dev = jax.devices()[0]
     tst = jax.device_put(tst, dev)
 
+    kspace_ep = None
+    k_ev = 1
+    if args.pme:
+        from constant_ph_tpu.ops.pme import make_pme_params
+        kspace_ep = make_pme_params(np.asarray(sys_.state.box),
+                                    ts.params.grid, build["alpha"],
+                                    skin=build["skin"], spacing=1.5, p=6)
+        k_ev = args.kspace_every
+        log(f"PME mesh {kspace_ep.mesh} p=6 alpha={build['alpha']} "
+            f"kspace_every={k_ev}")
+
     # ---- minimize + equilibrate + retile (same recipe as bench.py) ----
     cfg_eq = EngineConfig(dt=0.5, thermostat="langevin", T=300.0, gamma=0.01,
                           lambda_thermostat="langevin", rebuild_every=8,
                           force_cap=50.0)
-    eng_eq = TiledEngine(ts, cfg_eq)
+    eng_eq = TiledEngine(ts, cfg_eq, kspace_ep=kspace_ep)
     tst, e_hist = jax.jit(eng_eq.make_minimize(400))(tst)
     log(f"minimized: E {float(e_hist[0]):.0f} -> {float(e_hist[-1]):.0f}")
     run_eq = jax.jit(eng_eq.make_run(200))
@@ -117,8 +138,9 @@ def main():
     dt = 2.0
     cfg = EngineConfig(dt=dt, thermostat="langevin", T=300.0, gamma=0.002,
                        lambda_thermostat="langevin",
-                       rebuild_every=args.rebuild_every)
-    eng = TiledEngine(ts, cfg)
+                       rebuild_every=args.rebuild_every,
+                       kspace_every=k_ev)
+    eng = TiledEngine(ts, cfg, kspace_ep=kspace_ep)
     run_block = jax.jit(eng.make_run(cfg.rebuild_every))
     tst, ov, obs = run_block(tst)
     jax.block_until_ready(tst.wx)
@@ -138,6 +160,21 @@ def main():
     log(f"{n_meas} steps in {wall:.2f}s = {ms_step:.2f} ms/step "
         f"({ns_day:.1f} ns/day) finite={ok}")
 
+    # titration smoke from deck input: λ dynamics are live (the sites
+    # came from the data-file sidecar, not the procedural builder) —
+    # λ must move under the thermostat and dU/dλ must stay finite
+    lam_tr = np.asarray(obs.lam, np.float64)          # (steps, S)
+    dudl = np.asarray(obs.dUdlam, np.float64)
+    titr = {
+        "lam_mean": float(lam_tr[-1].mean()),
+        "lam_rms_motion": float(np.sqrt(np.mean(
+            (lam_tr[-1] - lam_tr[0]) ** 2))),
+        "dUdlam_finite": bool(np.isfinite(dudl).all()),
+        "dUdlam_last_mean": float(dudl[-1].mean()),
+    }
+    log(f"titration smoke: lam rms motion {titr['lam_rms_motion']:.4f}, "
+        f"dU/dlam finite={titr['dUdlam_finite']}")
+
     out = {
         "system": {"atoms": int(n_atoms), "sites": S,
                    "deck_bytes": nbytes, "source": "lammps data file"},
@@ -146,6 +183,9 @@ def main():
         "ns_per_day": round(ns_day, 2),
         "dt_fs": dt,
         "rebuild_every": cfg.rebuild_every,
+        "electrostatics": (f"PME kspace_every={k_ev}" if args.pme
+                           else "DSF rc=8"),
+        "titration_smoke": titr,
         "finite": ok,
         "wall_s": time.time() - t0,
     }

@@ -26,31 +26,53 @@ def log(msg):
 
 
 def main():
-    n_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("steps", nargs="?", type=int, default=100_000)
+    ap.add_argument("rebuild", nargs="?", type=int, default=12)
+    ap.add_argument("margin_min", nargs="?", type=int, default=4)
+    ap.add_argument("--pme", action="store_true",
+                    help="run the bench.py PME headline config (rc=8, "
+                         "alpha=0.30, 48^3 mesh p=6, kspace_every=2) "
+                         "instead of DSF — the VERDICT r3 item 5 "
+                         "stability row")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+    n_steps = args.steps
+    style = (dict(coul_style="cut", alpha=0.30) if args.pme
+             else dict(coul_style="dsf", alpha=0.2))
     cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu):
         sys_ = solvated_acid(
             n_side=20, rigid_water=True, lambda_coupled=True,
-            cutoff=8.0, skin=0.8, coul_style="dsf", alpha=0.2, pH=5.0,
-            hmr=3.0,
+            cutoff=8.0, skin=0.8, pH=5.0, hmr=3.0, **style,
         )
         ts = split_system(sys_, skin=0.8, tile_safety=1.72)
         tst = to_tiled(ts, sys_.state)
     dev = jax.devices()[0]
     tst = jax.device_put(tst, dev)
     n_atoms = sys_.state.x.shape[0]
+    kspace_ep = None
+    k_ev = 1
+    if args.pme:
+        from constant_ph_tpu.ops.pme import make_pme_params
+        kspace_ep = make_pme_params(np.asarray(sys_.state.box),
+                                    ts.params.grid, 0.30, skin=0.8,
+                                    spacing=1.5, p=6)
+        k_ev = 2
+        log(f"PME mesh {kspace_ep.mesh} kspace_every={k_ev}")
     log(f"{n_atoms} atoms")
 
     cfg_eq = EngineConfig(dt=0.5, thermostat="langevin", T=300.0, gamma=0.01,
                           lambda_thermostat="langevin", rebuild_every=8,
                           force_cap=50.0)
-    eng_eq = TiledEngine(ts, cfg_eq)
+    eng_eq = TiledEngine(ts, cfg_eq, kspace_ep=kspace_ep)
     tst, _ = jax.jit(eng_eq.make_minimize(400))(tst)
     run_eq = jax.jit(eng_eq.make_run(400))
     for _ in range(3):
         tst, ov, obs = run_eq(tst)
     occ = int(np.asarray(tst.wvalid).sum(axis=1).max())
-    margin_min = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    margin_min = args.margin_min
     with jax.default_device(cpu):
         ts, tst = retile_auto(
             ts, jax.tree.map(jnp.asarray, jax.device_get(tst)), occ,
@@ -58,10 +80,11 @@ def main():
     tst = jax.device_put(tst, dev)
     log(f"equilibrated, W={ts.params.W}")
 
-    rebuild = int(sys.argv[2]) if len(sys.argv) > 2 else 12
+    rebuild = args.rebuild
     cfg = EngineConfig(dt=2.0, thermostat="langevin", T=300.0, gamma=0.002,
-                       lambda_thermostat="langevin", rebuild_every=rebuild)
-    eng = TiledEngine(ts, cfg)
+                       lambda_thermostat="langevin", rebuild_every=rebuild,
+                       kspace_every=k_ev)
+    eng = TiledEngine(ts, cfg, kspace_ep=kspace_ep)
     chunk = 4000
     run = jax.jit(eng.make_run(chunk))
     n_waters = eng.n_waters
@@ -87,7 +110,7 @@ def main():
                     ts, jax.tree.map(jnp.asarray, jax.device_get(tst)),
                     max(occ, ts.params.W), margin_min=4)
             tst = jax.device_put(tst, dev)
-            eng = TiledEngine(ts, cfg)
+            eng = TiledEngine(ts, cfg, kspace_ep=kspace_ep)
             run = jax.jit(eng.make_run(chunk))
             n_retiles += 1
             retried = True
@@ -123,8 +146,12 @@ def main():
         "lam_min": float(min(lams)), "lam_max": float(max(lams)),
         "lam_frac_prot_tail": float((lam_tail < 0.2).mean()),
     }
+    result["electrostatics"] = (f"PME k-MTS={k_ev}" if args.pme
+                                else "DSF rc=8")
     os.makedirs("examples/results", exist_ok=True)
-    with open("examples/results/longrun_v5e.json", "w") as fh:
+    dst = args.out or ("examples/results/longrun_pme_v5e.json" if args.pme
+                       else "examples/results/longrun_v5e.json")
+    with open(dst, "w") as fh:
         json.dump(result, fh, indent=1)
     print(json.dumps(result))
     assert result["all_finite"]

@@ -1,0 +1,98 @@
+"""Titration curves straight off a campaign checkpoint's bias tables.
+
+The campaign driver's report tail-averages the INSTANTANEOUS V-table
+estimator over the post-burn-in chunks. That average is the right noise
+filter once the tables are converged, but it also integrates the mid-run
+transient in which well-tempered hills push every walker OUT of its
+HH-favored basin (the far-from-midpoint points pass through x≈0.5 before
+the unfavored basin is filled deep enough to read the true ΔF). This
+script instead evaluates the estimator once, on the FINAL tables — by
+late WT time the hill height has decayed to near-nothing, so the
+instantaneous profile IS the converged free-energy estimate
+(metad.deprotonated_fraction docstring: "needs converged V, not
+converged barrier-crossing statistics").
+
+Emits the same per-site/per-class schema as the campaign report
+(suffix `_ckpt_curves.json`) so analyze_metad_multisite.py applies.
+
+Ref: the per-site protonation observable the reference's fix exists to
+produce, /root/reference/fix_constant_pH.cpp:111 (pH driving term).
+
+  python examples/metad_curves_from_ckpt.py \
+      --ckpt examples/results/metad_ms_r4s2_ckpt.npz \
+      --report examples/results/titration_metad_r4stage2_v5e.json
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", required=True)
+    ap.add_argument("--report", required=True,
+                    help="campaign --out JSON (supplies pK table and "
+                         "MetadParams)")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from constant_ph_tpu import metad
+    from constant_ph_tpu.tiled.layout import TiledState
+
+    rep = json.load(open(args.report))
+    pks = np.asarray([s["pK"] for s in rep["per_site"]])
+    m = rep["metad"]
+    mp = metad.MetadParams(nbins=m["nbins"], sigma=m["sigma"], h0=m["h0"],
+                           gamma=m["gamma"], stride=m["stride"], T=300.0)
+    d = np.load(args.ckpt)
+    fields = [f.name for f in dataclasses.fields(TiledState)]
+    V = np.asarray(d[f"leaf{fields.index('metad_v')}"])   # (R, S, nbins)
+    pH = np.asarray(d[f"leaf{fields.index('pH')}"], np.float64)  # (R,)
+    wpp = m.get("walkers_per_ph", 1) or 1
+    G = len(pH) // wpp
+    # walkers within a pH group share one merged table; take walker 0
+    V = V.reshape(G, wpp, *V.shape[1:])[:, 0]
+    pH = pH.reshape(G, wpp)[:, 0]
+    S = V.shape[1]
+
+    frac = np.stack([
+        np.asarray(metad.deprotonated_fraction(jnp.asarray(V[g]), mp),
+                   np.float64) for g in range(G)])            # (G, S)
+
+    per_site, devs = [], []
+    for i in range(S):
+        pts = []
+        for g in np.argsort(pH):
+            hh = 1.0 / (1.0 + 10.0 ** (pks[i] - pH[g]))
+            pts.append({"pH": float(pH[g]),
+                        "deprotonated": float(frac[g, i]), "hh": hh})
+            devs.append(abs(frac[g, i] - hh))
+        per_site.append({"site": i, "pK": float(pks[i]), "curve": pts})
+    out = {
+        "method": rep["method"],
+        "estimator": "instantaneous converged V-table (final checkpoint), "
+                     "NOT tail-averaged — see module docstring",
+        "source_ckpt": args.ckpt,
+        "chunks_done": int(d["chunks_done"]),
+        "dG_ref": rep["dG_ref"],
+        "metad": rep["metad"],
+        "per_site": per_site,
+        "summary": {"mean_abs_dev": float(np.mean(devs)),
+                    "max_abs_dev": float(np.max(devs))},
+    }
+    dst = args.out or args.ckpt.replace(".npz", "_curves.json")
+    with open(dst, "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps({"chunks_done": out["chunks_done"],
+                      **out["summary"], "out": dst}))
+
+
+if __name__ == "__main__":
+    main()

@@ -157,6 +157,16 @@ def main():
                          "restarting a corrected-landscape campaign from "
                          "relaxed solvent skips that burn-in. Replica "
                          "counts must match")
+    ap.add_argument("--reset-tail", action="store_true",
+                    help="on resume, zero the accumulated tail tally and "
+                         "start a fresh averaging window (use with a "
+                         "--tail-burn past the already-done chunks when "
+                         "extending a run whose earlier tail window "
+                         "overlapped the mid-run fill transient: every "
+                         "far-from-midpoint point passes through x~0.5 "
+                         "while WT hills first push it out of its "
+                         "HH-favored basin, and averaging that transient "
+                         "biases the extremes toward the middle)")
     ap.add_argument("--ckpt-every", type=int, default=10)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--small", action="store_true")
@@ -304,6 +314,10 @@ def main():
     if resume:
         batch, chunks_done, tail_sum, tail_n = load_ckpt(
             args.ckpt, batch, args.buffer_waters, G)
+        if args.reset_tail:
+            tail_sum, tail_n = (np.zeros((G, S)),
+                                np.zeros(G, dtype=np.int64))
+            log("tail tally reset (fresh averaging window)")
         batch = jax.device_put(batch, dev)
         log(f"resumed at chunk {chunks_done} (tail_n={tail_n})")
     elif init_src:

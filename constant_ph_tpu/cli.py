@@ -19,6 +19,9 @@ Config keys (all optional beyond `system`):
              spacing/p defaults per examples/probe_pme_params.py)
   metad:    {nbins, sigma, h0, gamma, stride}   (λ-metadynamics for
             `titrate --method metad` / `calibrate --method metad`)
+  dg_ref:   scalar kcal/mol, or {base: scalar, class_offsets:
+            {"<pK>": offset, ...}} — install a calibrated (optionally
+            per-pK-class) ΔG_ref on every λ site at build time
   run:      {steps, minimize_steps, equilibrate_steps, tiled: bool,
              checkpoint: path, restart: path, observe_every,
              output: path.jsonl|path.csv,
@@ -62,6 +65,29 @@ def _build_system(spec: dict):
     mod, fn = _BUILDERS[name].split(":")
     builder = getattr(importlib.import_module(mod), fn)
     return builder(**spec)
+
+
+def _apply_dg_ref(cfg: dict, system):
+    """Install a config-supplied ΔG_ref on the system's LambdaSpec.
+
+    Config key `dg_ref` is either a scalar (shared constant, kcal/mol)
+    or {base: scalar, class_offsets: {"<pK>": offset, ...}} — per-pK-
+    class constants (the per-site pK granularity of the reference fix's
+    argument list, fix_constant_pH.cpp:47). Applied at build time so
+    every command (run/titrate/calibrate) sees the same landscape."""
+    if "dg_ref" not in cfg:
+        return system
+    from constant_ph_tpu import titration
+
+    val = cfg["dg_ref"]
+    if isinstance(val, dict):
+        offs = {float(k): float(v)
+                for k, v in (val.get("class_offsets") or {}).items()}
+        system.spec = titration.apply_dG_ref_per_class(
+            system.spec, float(val["base"]), offs)
+    else:
+        system.spec = titration.apply_dG_ref(system.spec, float(val))
+    return system
 
 
 def _make_engines(cfg: dict, system):
@@ -121,7 +147,7 @@ def cmd_run(args):
 
     cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu):
-        system = _build_system(dict(cfg["system"]))
+        system = _apply_dg_ref(cfg, _build_system(dict(cfg["system"])))
         ecfg, bias, kspace_ep = _make_engines(cfg, system)
         state = system.state
         if run_cfg.get("restart"):
@@ -287,7 +313,7 @@ def cmd_titrate(args):
     pHs = [float(p) for p in args.ph.split(",")]
     cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu):
-        system = _build_system(dict(cfg["system"]))
+        system = _apply_dg_ref(cfg, _build_system(dict(cfg["system"])))
         ecfg, bias, _ = _make_engines(cfg, system)
 
     from constant_ph_tpu.observables import hh_curve
@@ -342,7 +368,7 @@ def _titrate_metad(args):
     pHs = [float(p) for p in args.ph.split(",")]
     cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu):
-        system = _build_system(dict(cfg["system"]))
+        system = _apply_dg_ref(cfg, _build_system(dict(cfg["system"])))
         ecfg, bias, kspace_ep = _make_engines(cfg, system)
 
     from constant_ph_tpu import metad
@@ -407,7 +433,7 @@ def cmd_calibrate(args):
     cfg = _load_config(args.config)
     cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu):
-        system = _build_system(dict(cfg["system"]))
+        system = _apply_dg_ref(cfg, _build_system(dict(cfg["system"])))
         ecfg, bias, kspace_ep = _make_engines(cfg, system)
 
     from constant_ph_tpu import titration
@@ -423,9 +449,16 @@ def cmd_calibrate(args):
     tst, _ = jax.jit(eng.make_minimize(300))(tst)
     tst, _, _ = eng.run(tst, int(args.equil))
     if getattr(args, "method", "ti") == "metad":
+        mp = None
+        if "metad" in cfg:
+            from constant_ph_tpu import metad
+
+            mp = metad.MetadParams(
+                stride=max(1, int(round(50.0 / ecfg.dt))),
+                **cfg["metad"])
         dg = titration.calibrate_dG_ref_metad(
             ts, tst, ecfg, bias=bias, kspace_ep=kspace_ep,
-            n_steps=int(args.samples))
+            metad_params=mp, n_steps=int(args.samples))
         print(json.dumps({"dG_ref_per_site": [float(d) for d in dg],
                           "method": "metad"}))
         return

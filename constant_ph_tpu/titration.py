@@ -144,6 +144,43 @@ def apply_dG_ref(spec, dG_ref):
     return spec.replace(dG_ref=val)
 
 
+def parse_class_offsets(text):
+    """Parse a per-pK-class ΔG_ref offset spec "pK:off[,pK:off...]"
+    (e.g. "4.25:-0.89,6.5:0.12") into {pK: offset_kcal}. Empty/None
+    parses to {}."""
+    out = {}
+    for item in (text or "").split(","):
+        item = item.strip()
+        if not item:
+            continue
+        k, _, v = item.partition(":")
+        out[float(k)] = float(v)
+    return out
+
+
+def apply_dG_ref_per_class(spec, dG_base, class_offsets, tol=1e-3):
+    """Install per-SITE ΔG_ref = dG_base + offset(pK class of the site).
+
+    The residual analysis (examples/metad_vtable_residual.py) reports
+    per-pK-class medians of the V-table free-energy residual; when a
+    class offset is statistically stable across checkpoints it belongs
+    in ΔG_ref, not in more sampling. `class_offsets` maps a pK value
+    (matched to spec.pK within `tol`) to the kcal/mol offset. Unmatched
+    offset keys raise (a silent typo would install the base constant).
+    Mirrors the per-site pK argument of the reference fix
+    (fix_constant_pH.cpp:47) at the calibration level."""
+    pks = np.asarray(spec.pK)
+    dg = np.full(pks.shape, float(dG_base))
+    for pk, off in (class_offsets or {}).items():
+        m = np.abs(pks - float(pk)) <= tol
+        if not m.any():
+            raise ValueError(
+                f"dG_ref class offset for pK={pk}: no site has that pK "
+                f"(spec classes: {sorted(set(np.round(pks, 4).tolist()))})")
+        dg[m] += float(off)
+    return apply_dG_ref(spec, dg)
+
+
 def calibrate_dG_ref_metad(
     tsys,
     tstate,
@@ -188,8 +225,15 @@ def calibrate_dG_ref_metad(
 
     if bias is None:
         bias = BiasParams()
+    # Default protocol is CAMPAIGN strength. The old soft default
+    # (σ=0.02, h0=0.25, γ=15) cannot cross the full-Δq landscape's
+    # 9.5-25 kcal Marcus barrier — measured round 4: 13/20 sites
+    # returned ΔF=−inf after 240 ps (results/dg_crosscheck_metad_v5e
+    # .json). γ must satisfy γ ≳ 1 + F_barrier/kT (metad.py); on a
+    # bare Donnini landscape γ=30 merely fills a bit longer — WT
+    # convergence is unaffected.
     mp = metad_params or metad_mod.MetadParams(
-        nbins=241, sigma=0.02, h0=0.25, gamma=15.0,
+        nbins=241, sigma=0.05, h0=0.4, gamma=30.0,
         stride=max(1, int(round(50.0 / cfg.dt))))
     S = tsys.spec.n_sites
     V0, dV0 = metad_mod.init_tables(S, mp)
@@ -206,6 +250,20 @@ def calibrate_dG_ref_metad(
         dfs.append(np.asarray(metad_mod.delta_f_sites(st.metad_v, mp)))
     tail = max(1, int(round(tail_frac * len(dfs))))
     df_meas = np.mean(np.stack(dfs[-tail:]), axis=0)              # (S,)
+    if not np.isfinite(df_meas).all():
+        bad = np.where(~np.isfinite(df_meas))[0].tolist()
+        raise RuntimeError(
+            f"metad calibration never crossed the λ barrier on sites "
+            f"{bad} (ΔF non-finite after {n_steps} steps): one basin "
+            f"was never visited, so the basin free-energy difference "
+            f"is undefined. The well-tempered fill saturates near "
+            f"(γ−1)·kT, so γ must satisfy γ ≳ 1 + F_barrier/kT "
+            f"(got γ={mp.gamma}); full-Δq landscapes with few buffer "
+            f"waters carry a 9.5-25 kcal Marcus barrier and need "
+            f"γ ~ 25-40, σ ~ 0.05, h0 ~ 0.4 (measured: metad.py, "
+            f"BASELINE.md round 3-4). Raise gamma / run longer "
+            f"(n_steps) or spread the compensating charge over more "
+            f"buffer waters.")
     kT = units.BOLTZ * cfg.T
     pH = float(np.asarray(tstate.pH))
     df_want = kT * units.LN10 * (np.asarray(tsys.spec.pK) - pH)

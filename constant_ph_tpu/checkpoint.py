@@ -30,15 +30,29 @@ def save(path: str, state: SystemState) -> None:
     np.savez(path, **leaves)
 
 
+# fields that may legitimately be absent from an old checkpoint and
+# restart as scalar zeros (cumulative diagnostics, not dynamics). Any
+# OTHER missing field is a real layout mismatch and must fail loudly.
+_SCALAR_FILL_FIELDS = frozenset({"ext_work"})
+
+
 def load(path: str, dtype=None) -> SystemState:
     data = np.load(path if str(path).endswith(".npz") else str(path) + ".npz")
+    # fill dtype follows the checkpoint's own float precision (a float64
+    # checkpoint loaded with dtype=None must not gain a float32 leaf —
+    # mixed-precision pytrees break scan carries under x64)
+    fill_dtype = dtype or (data["x"].dtype if "x" in data.files
+                           else jnp.float32)
     kwargs = {}
     for f in dataclasses.fields(SystemState):
         if f.name not in data.files:
-            # forward-tolerant: scalar fields appended to SystemState
-            # after the checkpoint was written (e.g. ext_work) restart
-            # at zero — they are cumulative diagnostics, not dynamics
-            kwargs[f.name] = jnp.zeros((), dtype=dtype or jnp.float32)
+            if f.name not in _SCALAR_FILL_FIELDS:
+                raise KeyError(
+                    f"checkpoint {path} is missing non-optional field "
+                    f"'{f.name}' — not a known append-after-save scalar "
+                    f"({sorted(_SCALAR_FILL_FIELDS)}); refusing to "
+                    f"silently zero-fill it")
+            kwargs[f.name] = jnp.zeros((), dtype=fill_dtype)
             continue
         arr = data[f.name]
         if f.name == "key":

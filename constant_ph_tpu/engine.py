@@ -389,8 +389,17 @@ class Engine:
         if use_nhc:
             ke2 = 2.0 * kinetic_energy(v, ff.mass)
             scale, nhc_xi = nhc_halfstep(nhc_xi, ke2, ndof, kT, cfg.tau, dt)
+            # book the work on constraint-PROJECTED KE: end-of-step
+            # RATTLE removes the B-kick's violating components before
+            # they reach the tracked energy (projection is linear, so
+            # it commutes with the uniform scale; raw ke2 stays the
+            # nhc_halfstep input — see the tiled engine's NHC block)
+            ke2_p = ke2
+            if self.constraints is not None:
+                v_p = self.constraints.velocities(x, v, state.box)
+                ke2_p = 2.0 * kinetic_energy(v_p, ff.mass)
             v = v * scale
-            ext_work = ext_work + 0.5 * ke2 * (scale * scale - 1.0)
+            ext_work = ext_work + 0.5 * ke2_p * (scale * scale - 1.0)
         if move_lam and cfg.lambda_thermostat == "nhc":
             ke2l = 2.0 * lambda_dyn.lambda_kinetic(v_lam, self.spec)
             scale_l, nhc_lam_xi = nhc_halfstep(

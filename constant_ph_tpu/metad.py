@@ -133,29 +133,43 @@ def free_energy(V, p: MetadParams):
     return F - jnp.min(F, axis=1, keepdims=True)
 
 
+def _basin_logZ(V, p: MetadParams):
+    """Per-site log basin partition sums (log Σ_dep w, log Σ_prot w) of
+    F_s(λ) split at λ = 1/2 (trapezoid on the grid), computed in LOG
+    space: the naive exp(−F/kT) ratio overflows f32 once the WT fill
+    exceeds ~50 kcal, and the old ±(1−1e-12) clip rounds to exactly 1.0
+    in f32, which is how round-4's calibrator cross-check leaked −inf
+    on 13/20 sites (results/dg_crosscheck_metad_v5e.json)."""
+    kT = units.BOLTZ * p.T
+    F = free_energy(V, p)
+    # trapezoid weights (uniform grid): half at the ends
+    tw = jnp.ones((p.nbins,), V.dtype).at[0].set(0.5).at[-1].set(0.5)
+    logw = -F / kT + jnp.log(tw)[None, :]
+    dep = (p.grid() > 0.5)[None, :]
+    neg = jnp.asarray(-jnp.inf, V.dtype)
+    lz_dep = jax.scipy.special.logsumexp(
+        jnp.where(dep, logw, neg), axis=1)
+    lz_prot = jax.scipy.special.logsumexp(
+        jnp.where(dep, neg, logw), axis=1)
+    return lz_dep, lz_prot
+
+
 def deprotonated_fraction(V, p: MetadParams):
     """Per-site ⟨deprotonated⟩ from the bias profile: basin-integrated
     Boltzmann weights of F_s(λ) split at λ = 1/2 (trapezoid on the grid).
     This is the metadynamics titration estimator — it needs converged V,
     not converged barrier-crossing statistics."""
-    kT = units.BOLTZ * p.T
-    F = free_energy(V, p)
-    w = jnp.exp(-F / kT)
-    # trapezoid weights (uniform grid): half at the ends
-    tw = jnp.ones((p.nbins,), V.dtype).at[0].set(0.5).at[-1].set(0.5)
-    m_dep = (p.grid() > 0.5).astype(V.dtype)
-    num = jnp.sum(w * tw[None, :] * m_dep[None, :], axis=1)
-    den = jnp.sum(w * tw[None, :], axis=1)
-    return num / den
+    lz_dep, lz_prot = _basin_logZ(V, p)
+    return jax.nn.sigmoid(lz_dep - lz_prot)
 
 
 def delta_f_sites(V, p: MetadParams):
     """Per-site deprotonation free energy ΔF_s = −kT·ln(x/(1−x)) from the
-    basin populations (kcal/mol; negative ⇒ deprotonated favored)."""
+    basin populations (kcal/mol; negative ⇒ deprotonated favored).
+    Always finite for finite V (log-space basin sums, _basin_logZ)."""
     kT = units.BOLTZ * p.T
-    x = deprotonated_fraction(V, p)
-    x = jnp.clip(x, 1e-12, 1.0 - 1e-12)
-    return -kT * jnp.log(x / (1.0 - x))
+    lz_dep, lz_prot = _basin_logZ(V, p)
+    return -kT * (lz_dep - lz_prot)
 
 
 def deposit_frozen(V, dV, lam_seq, p: MetadParams):
@@ -192,27 +206,17 @@ def make_mesh_walker_merge(mesh, axis: str, p: MetadParams):
     bias increments between same-pH walkers on different chips
     (docs/ROADMAP.md round-3 candidate 4). Exact: frozen-base deltas are
     order-free, so the psum merge equals the serial frozen-base merge
-    bit-for-bit up to float addition order."""
-    from jax.sharding import PartitionSpec as P
-    try:
-        from jax import shard_map          # JAX >= 0.8 home
-    except ImportError:                    # older JAX
-        from jax.experimental.shard_map import shard_map
+    bit-for-bit up to float addition order.
 
-    def _local(V, dV, seq):
-        # seq: (W_local, K, S) — fold this device's walkers into one
-        # hill sequence; heights are all frozen-base so order is moot
-        flat = seq.reshape(-1, seq.shape[-1])
-        dVt, ddVt = deposit_frozen(V, dV, flat, p)
-        dVt = jax.lax.psum(dVt, axis)
-        ddVt = jax.lax.psum(ddVt, axis)
-        return V + dVt, dV + ddVt
+    Implemented as the G = 1 case of make_mesh_group_merge (one shared
+    body to keep in sync — advisor finding, round 4)."""
+    grp = make_mesh_group_merge(mesh, axis, p)
 
-    return shard_map(
-        _local, mesh=mesh,
-        in_specs=(P(), P(), P(axis)),
-        out_specs=(P(), P()),
-    )
+    def merge(V, dV, seq):
+        Vn, dVn = grp(V[None], dV[None], seq[None])
+        return Vn[0], dVn[0]
+
+    return merge
 
 
 def make_mesh_group_merge(mesh, axis: str, p: MetadParams):

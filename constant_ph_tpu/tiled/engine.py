@@ -560,9 +560,20 @@ class TiledEngine:
             ke2 = 2.0 * ke_vel(wv, sv)
             scale, nhc_xi = nhc_halfstep(nhc_xi, ke2, self.ndof, kT,
                                          cfg.tau, dt)
+            # book the thermostat's work on CONSTRAINT-PROJECTED KE: the
+            # post-B-kick velocities still carry constraint-violating
+            # components that end-of-step RATTLE removes, so the true
+            # injection into the tracked energy is 0.5·ke2_proj·(s²−1)
+            # (projection is linear ⇒ commutes with the uniform scale;
+            # raw ke2 stays the nhc_halfstep input — same dynamics, same
+            # reasoning as the Langevin ke_proj above)
+            wv_p = self.shake.velocities(wx, wv, st.box, st.wvalid)
+            sv_p = (ts.solute_constraints.velocities(sx, sv, st.box)
+                    if ts.solute_constraints is not None else sv)
+            ke2_p = 2.0 * ke_vel(wv_p, sv_p)
             wv = wv * scale
             sv = sv * scale
-            ext_work = ext_work + 0.5 * ke2 * (scale * scale - 1.0)
+            ext_work = ext_work + 0.5 * ke2_p * (scale * scale - 1.0)
         if move_lam and cfg.lambda_thermostat == "nhc":
             ke2l = 2.0 * lambda_dyn.lambda_kinetic(v_lam, ts.spec)
             scale_l, nhc_lam_xi = nhc_halfstep(

@@ -250,20 +250,37 @@ def calibrate_dG_ref_metad(
         dfs.append(np.asarray(metad_mod.delta_f_sites(st.metad_v, mp)))
     tail = max(1, int(round(tail_frac * len(dfs))))
     df_meas = np.mean(np.stack(dfs[-tail:]), axis=0)              # (S,)
-    if not np.isfinite(df_meas).all():
-        bad = np.where(~np.isfinite(df_meas))[0].tolist()
+    # crossing guard: a V table whose hills all landed in ONE basin
+    # means the walker never crossed — the basin ΔF would then just
+    # read back the (garbage) fill height. Round-4 measured exactly
+    # this failure on 13/20 HEWL sites at a too-soft protocol
+    # (results/dg_crosscheck_metad_v5e.json); refuse loudly instead.
+    V_fin = np.asarray(st.metad_v)                          # (S, nbins)
+    grid = np.asarray(mp.grid())
+    # test the WELL windows (λ<0.25 / λ>0.75), not the half-lines: a
+    # pre-bias thermal excursion can drop one hill in the barrier
+    # region of the far basin, but only a genuine crossing reaches the
+    # far well bottom (the wells sit at λ≈0 and λ≈1)
+    fill_prot = V_fin[:, grid < 0.25].max(axis=1)
+    fill_dep = V_fin[:, grid > 0.75].max(axis=1)
+    never = ((np.minimum(fill_dep, fill_prot) < 0.5 * mp.h0)
+             & (np.maximum(fill_dep, fill_prot) > 2.0 * mp.h0))
+    if never.any() or not np.isfinite(df_meas).all():
+        bad = sorted(set(np.where(never)[0].tolist())
+                     | set(np.where(~np.isfinite(df_meas))[0].tolist()))
         raise RuntimeError(
             f"metad calibration never crossed the λ barrier on sites "
-            f"{bad} (ΔF non-finite after {n_steps} steps): one basin "
-            f"was never visited, so the basin free-energy difference "
-            f"is undefined. The well-tempered fill saturates near "
-            f"(γ−1)·kT, so γ must satisfy γ ≳ 1 + F_barrier/kT "
-            f"(got γ={mp.gamma}); full-Δq landscapes with few buffer "
-            f"waters carry a 9.5-25 kcal Marcus barrier and need "
-            f"γ ~ 25-40, σ ~ 0.05, h0 ~ 0.4 (measured: metad.py, "
-            f"BASELINE.md round 3-4). Raise gamma / run longer "
-            f"(n_steps) or spread the compensating charge over more "
-            f"buffer waters.")
+            f"{bad} after {n_steps} steps (hills deposited in one "
+            f"basin only): the basin free-energy difference would "
+            f"read back the fill height, not physics. The well-"
+            f"tempered fill saturates near (γ−1)·kT, so γ must "
+            f"satisfy γ ≳ 1 + F_barrier/kT (got γ={mp.gamma}); "
+            f"full-Δq landscapes with few buffer waters carry a "
+            f"9.5-25 kcal Marcus barrier and need γ ~ 25-40, "
+            f"σ ~ 0.05, h0 ~ 0.4 (measured: metad.py, BASELINE.md "
+            f"rounds 3-4). Raise gamma / run longer (n_steps) or "
+            f"spread the compensating charge over more buffer "
+            f"waters.")
     kT = units.BOLTZ * cfg.T
     pH = float(np.asarray(tstate.pH))
     df_want = kT * units.LN10 * (np.asarray(tsys.spec.pK) - pH)

@@ -396,3 +396,35 @@ def test_mesh_group_merge_matches_serial_frozen_merge():
         np.testing.assert_allclose(np.asarray(dVm[g]),
                                    np.asarray(dVs[g] + ddVt),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_calibrate_metad_refuses_silent_inf():
+    """A metad calibration that never crosses the λ barrier must raise,
+    not return -inf (round-4 finding: the old soft default protocol
+    silently returned -inf on 13/20 HEWL sites,
+    results/dg_crosscheck_metad_v5e.json). A deliberately crippled
+    protocol (h0≈0 deposits nothing, so the walker stays in its start
+    basin) guarantees the unvisited-basin condition in CI time."""
+    from constant_ph_tpu import titration
+
+    sys_ = solvated_acid(
+        n_side=3, rigid_water=True, lambda_coupled=True,
+        cutoff=4.5, skin=1.5, coul_style="dsf", alpha=0.2, seed=7, pH=5.0,
+    )
+    ts = split_system(sys_, skin=1.5)
+    tst = to_tiled(ts, sys_.state)
+    # start the walker DEEP in the deprotonated basin (a fresh build
+    # starts near the barrier top and its first hills spill into both
+    # basins, masking the never-crossed signature)
+    tst = tst.replace(lam=jnp.full_like(tst.lam, 0.98))
+    cfg = EngineConfig(dt=1.0, thermostat="langevin", T=300.0, gamma=0.01,
+                       lambda_thermostat="langevin", lambda_gamma=0.05,
+                       rebuild_every=10)
+    # gamma=2 saturates the WT fill near (γ-1)kT ≈ 0.6 kcal — far below
+    # the ~6.5 kcal Donnini barrier, so hills pile up in the start basin
+    # and the other basin stays empty
+    crippled = metad.MetadParams(nbins=121, sigma=0.02, h0=0.5,
+                                 gamma=2.0, stride=25)
+    with pytest.raises(RuntimeError, match="never crossed"):
+        titration.calibrate_dG_ref_metad(
+            ts, tst, cfg, metad_params=crippled, n_steps=1500, chunk=250)

@@ -147,3 +147,34 @@ def test_compute_Hs_diagnostic():
     np.testing.assert_allclose(
         float(HA), float(frc.e_lj + frc.e_coul + frc.e_bonded), rtol=1e-4)
     assert float(HA) != float(HB)
+
+
+def test_parse_class_offsets():
+    from constant_ph_tpu import titration
+
+    assert titration.parse_class_offsets("") == {}
+    assert titration.parse_class_offsets(None) == {}
+    assert titration.parse_class_offsets("4.25:-0.89, 6.5:0.12") == {
+        4.25: -0.89, 6.5: 0.12}
+
+
+def test_apply_dG_ref_per_class():
+    """Per-pK-class ΔG_ref install (the per-site granularity of the
+    reference fix's pK argument, fix_constant_pH.cpp:47): base constant
+    plus class offsets land on exactly the matching sites; an offset for
+    a pK no site has must raise (silent typo -> wrong landscape)."""
+    from constant_ph_tpu import titration
+    from constant_ph_tpu.systems.protein import solvated_polypeptide
+
+    sys_ = solvated_polypeptide(n_residues=8, box_len=26.0,
+                                water_spacing=3.4, cutoff=6.0, skin=1.2,
+                                pH=5.0, n_buffer_waters=2)
+    spec = titration.apply_dG_ref_per_class(
+        sys_.spec, -10.0, {4.25: -0.5, 6.5: 0.25})
+    pks = np.asarray(spec.pK)
+    dg = np.asarray(spec.dG_ref)
+    assert np.allclose(dg[np.abs(pks - 4.25) < 1e-3], -10.5)
+    assert np.allclose(dg[np.abs(pks - 6.5) < 1e-3], -9.75)
+    assert np.allclose(dg[np.abs(pks - 3.65) < 1e-3], -10.0)
+    with pytest.raises(ValueError, match="no site has that pK"):
+        titration.apply_dG_ref_per_class(sys_.spec, -10.0, {9.9: 1.0})

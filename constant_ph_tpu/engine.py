@@ -281,12 +281,15 @@ class Engine:
         return jnp.where(active, float(nev), 0.0)
 
     def _reflect_lam(self, lam, v_lam):
+        # folding reflection — impenetrable at any |Δλ| (a single mirror
+        # lets a drift longer than hi−lo escape; see tiled engine)
         lo, hi = self.cfg.lam_min, self.cfg.lam_max
-        below = lam < lo
-        above = lam > hi
-        lam = jnp.where(below, 2.0 * lo - lam, jnp.where(above, 2.0 * hi - lam, lam))
-        v_lam = jnp.where(below | above, -v_lam, v_lam)
-        return lam, v_lam
+        rng = hi - lo
+        y = jnp.mod(lam - lo, 2.0 * rng)
+        odd = y > rng
+        lam_f = jnp.where(odd, 2.0 * rng - y, y) + lo
+        v_f = jnp.where(odd, -v_lam, v_lam)
+        return lam_f, v_f
 
     def step(self, state: SystemState, frc: Forces, nbr: NeighborList):
         """One BAOAB/VV/NHC step for atoms and λ. Returns (state', frc')."""

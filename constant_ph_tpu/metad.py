@@ -82,16 +82,24 @@ def init_tables(n_sites: int, p: MetadParams, dtype=jnp.float32):
 def lookup(V, dV, lam, p: MetadParams):
     """Linear-interpolated (V_s(λ_s), dV_s/dλ(λ_s)) per site.
 
-    λ outside [lo, hi] clamps to the edge value with zero slope — the
-    Donnini erf walls (lambda_dyn.bias U4/U5) plus the reflective
-    backstops keep λ inside the grid in practice."""
+    λ outside [lo, hi] clamps to the edge value with ZERO slope. The
+    zero slope is load-bearing, not a nicety: after a long fill the
+    table's edge bins carry steep hill flanks, and clamping to the edge
+    DERIVATIVE hands an escaped walker a constant outward force. The
+    Donnini erf walls saturate outside the λ window (no restoring
+    force), so that outward pull sustains a Langevin terminal velocity
+    f/(γ_λ·m_λ) ≈ 1.6 λ/fs — fast enough to overshoot both reflective
+    walls every half-drift. Root cause of the round-3/4 campaigns'
+    recurring corrupt-but-finite walkers (stage-2 final checkpoint,
+    replica 4: λ=1.49, |v_λ|=1.55, ext_work −1e23; round-5 nandump)."""
     u = (lam - p.lo) / p.dx
     i0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, p.nbins - 2)
     f = jnp.clip(u - i0.astype(lam.dtype), 0.0, 1.0)
     take = lambda A, i: jnp.take_along_axis(A, i[:, None], axis=1)[:, 0]
     v = take(V, i0) * (1.0 - f) + take(V, i0 + 1) * f
     dv = take(dV, i0) * (1.0 - f) + take(dV, i0 + 1) * f
-    return v, dv
+    inside = (lam >= p.lo) & (lam <= p.hi)
+    return v, jnp.where(inside, dv, 0.0)
 
 
 def deposit(V, dV, lam, p: MetadParams):

@@ -399,13 +399,20 @@ class TiledEngine:
         return jnp.where(active, float(nev), 0.0)
 
     def _reflect_lam(self, lam, v_lam):
+        # FOLDING reflection (period-2L sawtooth), not a single mirror:
+        # a hot walker whose half-drift overshoots BOTH walls (|Δλ| >
+        # hi−lo; observed in the round-3/4 campaigns once the metad
+        # edge-slope bug pumped v_λ to ~1.5/fs) would escape a single
+        # 2·lo−λ mirror entirely. Folding maps ANY λ back into [lo, hi]
+        # with the velocity flipped on odd legs — the wall is
+        # impenetrable at any speed.
         lo, hi = self.cfg.lam_min, self.cfg.lam_max
-        below = lam < lo
-        above = lam > hi
-        lam = jnp.where(below, 2.0 * lo - lam,
-                        jnp.where(above, 2.0 * hi - lam, lam))
-        v_lam = jnp.where(below | above, -v_lam, v_lam)
-        return lam, v_lam
+        rng = hi - lo
+        y = jnp.mod(lam - lo, 2.0 * rng)
+        odd = y > rng
+        lam_f = jnp.where(odd, 2.0 * rng - y, y) + lo
+        v_f = jnp.where(odd, -v_lam, v_lam)
+        return lam_f, v_f
 
     def _cap_forces(self, frc: TiledForces) -> TiledForces:
         cap = self.cfg.force_cap

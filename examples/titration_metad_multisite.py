@@ -311,9 +311,13 @@ def main():
     wpp = args.walkers_per_ph
     R = G * wpp
     pHs = np.linspace(args.ph_min, args.ph_max, G)
+    # reflective λ walls just outside the metad grid (−0.1..1.1): the
+    # EngineConfig defaults (±0.5/1.5) leave a force-free plateau beyond
+    # the erf walls where an escaped walker drifts for free and deposits
+    # nothing (round-5 nandump root cause, metad.lookup docstring)
     cfg = EngineConfig(dt=2.0, thermostat="langevin", T=300.0, gamma=0.002,
                        lambda_thermostat="langevin", lambda_gamma=0.05,
-                       rebuild_every=12)
+                       rebuild_every=12, lam_min=-0.12, lam_max=1.12)
     # wpp > 1: multiple-walkers metadynamics — same-pH walkers run against
     # a bias FROZEN for the chunk, then their hill sequences merge into
     # the shared table (metad.deposit_many, the delayed-bias scheme);
@@ -393,10 +397,14 @@ def main():
                     f"--init-tables: source landscape dG_ref={dG_src} "
                     f"!= --dg-ref {dG}; the adopted V tables would "
                     f"estimate the wrong free energy")
+            # SANITIZE the adopted walkers: clamp λ into the erf-wall
+            # window and rethermalize v_λ from zero — the stage-2 source
+            # carries one corrupt-but-finite replica (λ=1.49, |v_λ|=1.55)
             batch = batch.replace(
                 metad_v=batch_src.metad_v, metad_dv=batch_src.metad_dv,
-                lam=batch_src.lam, v_lam=batch_src.v_lam)
-            log("adopted source bias tables + lambda walkers "
+                lam=jnp.clip(batch_src.lam, -0.05, 1.05),
+                v_lam=jnp.zeros_like(batch_src.v_lam))
+            log("adopted source bias tables + clamped lambda walkers "
                 "(landscape refinement mode)")
         batch = jax.device_put(batch, dev)
         save_ckpt(args.ckpt, batch, 0, dG, ts.params.W,
@@ -456,11 +464,15 @@ def main():
             lambda V, dV, seq: metad.deposit_many(V, dV, seq, mp)))
     # per-replica failure detection + rollback (SURVEY.md §5.3): one NaN
     # walker must not poison its bias table for the rest of the run
-    from constant_ph_tpu.parallel.replica import (replica_finite,
+    from constant_ph_tpu.parallel.replica import (replica_healthy,
                                                   rollback_replicas)
     n_overflow = 0
     n_rollback = 0
-    replica_finite = jax.jit(replica_finite)
+    # health = finite AND λ inside the walls AND |v_λ| sane — a corrupt-
+    # but-finite walker must roll back too (stage-2 carried one for ~50
+    # chunks; replica_healthy docstring)
+    replica_finite = jax.jit(lambda b: replica_healthy(
+        b, lam_min=-0.125, lam_max=1.125, v_lam_max=0.5))
 
     def tail_frac(b):
         """Current per-group deprotonated fractions off the bias tables."""

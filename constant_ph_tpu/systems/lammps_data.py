@@ -183,7 +183,60 @@ def _read_coeffs(path: str):
     return coeffs
 
 
+# sections this reader understands. A deck section OUTSIDE this set that
+# carries physics (PairIJ Coeffs overriding mixed pairs, triclinic tilt,
+# a non-charge/full atom style changing the Atoms column layout) must be
+# a NAMED error, not a silent mis-parse — the host input world the
+# reference fix rides on (fix_constant_pH.cpp:15-25) errors on unknown
+# sections too.
+_KNOWN_SECTIONS = {
+    "Masses", "Pair Coeffs", "Atoms", "Velocities", "Bonds", "Angles",
+    "Dihedrals", "Impropers", "Bond Coeffs", "Angle Coeffs",
+    "Dihedral Coeffs", "Improper Coeffs",
+}
+_ATOM_STYLES = {"full", "charge"}
+
+
+def _scan_deck_guards(path: str) -> None:
+    """Reject deck features both parsers would otherwise mis-parse."""
+    import re
+
+    for raw in open(path).read().splitlines()[1:]:
+        line = raw.split("#")[0].strip()
+        low = line.lower()
+        if "xy xz yz" in low:
+            tilt = [float(t) for t in line.split()[:3]]
+            if any(abs(t) > 1e-12 for t in tilt):
+                raise ValueError(
+                    f"triclinic tilt {tilt} unsupported: the tiled cell "
+                    f"grid assumes an orthorhombic box — re-shape the "
+                    f"cell or use an orthorhombic deck")
+            continue
+        if line and re.match(r"^[A-Za-z]", line):
+            name = " ".join(line.split())
+            base = name if name in _KNOWN_SECTIONS else name.split()[0]
+            if name in _KNOWN_SECTIONS or base in ("Atoms",):
+                if base == "Atoms" or name == "Atoms":
+                    style = raw.split("#", 1)
+                    if len(style) == 2:
+                        st = style[1].strip().split()[0].lower()
+                        if st not in _ATOM_STYLES:
+                            raise ValueError(
+                                f"Atoms section style '{st}' unsupported "
+                                f"(column layout differs); supported: "
+                                f"{sorted(_ATOM_STYLES)}")
+                continue
+            # not a section we know — header keyword lines (counts,
+            # bounds) never start with a letter, so anything left is an
+            # unknown section
+            raise ValueError(
+                f"unknown data-file section '{name}': this reader "
+                f"parses {sorted(_KNOWN_SECTIONS)}; refusing to "
+                f"silently skip physics")
+
+
 def read_lammps_data(path: str) -> dict:
+    _scan_deck_guards(path)
     raw = _read_native(path)
     if raw is None:
         raw = _read_python(path)

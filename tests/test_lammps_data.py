@@ -131,3 +131,78 @@ def test_native_exclusion_builder():
             a = set(want_idx[i][want_code[i] == code].tolist())
             b = set(excl_idx[i][excl_code[i] == code].tolist())
             assert a == b, (i, code, a, b)
+
+
+class TestDeckFuzz:
+    """Robustness to the host input world (fix_constant_pH.cpp:15-25):
+    benign deck mutations must parse to the same physics; mutations the
+    reader cannot represent must be NAMED errors, never silent
+    mis-parses (VERDICT r4 item 9)."""
+
+    def _mutate(self, path, tmp_path, fn, name):
+        out = str(tmp_path / f"{name}.data")
+        open(out, "w").write(fn(open(path).read()))
+        return out
+
+    def test_reordered_sections_and_comments(self, roundtrip, tmp_path):
+        sys_, path = roundtrip
+        text = open(path).read()
+        lines = text.splitlines()
+        # split into (header, sections) and emit sections reversed with
+        # injected comments/blank lines
+        import re
+        first_sec = next(i for i, l in enumerate(lines[1:], 1)
+                         if re.match(r"^[A-Za-z]", l.split("#")[0].strip()))
+        head, body = lines[:first_sec], lines[first_sec:]
+        secs, cur = [], []
+        for l in body:
+            if re.match(r"^[A-Za-z]", l.split("#")[0].strip()) and cur:
+                secs.append(cur)
+                cur = [l]
+            else:
+                cur.append(l)
+        secs.append(cur)
+        shuffled = head + ["# injected comment"]
+        for s in reversed(secs):
+            shuffled += s + ["", "# another comment"]
+        out = str(tmp_path / "reordered.data")
+        open(out, "w").write("\n".join(shuffled) + "\n")
+        a = ld.read_lammps_data(path)
+        b = ld.read_lammps_data(out)
+        np.testing.assert_allclose(b["x"], a["x"])
+        np.testing.assert_allclose(b["q"], a["q"])
+        np.testing.assert_array_equal(b["bonds"], a["bonds"])
+
+    def test_unknown_atom_style_raises(self, roundtrip, tmp_path):
+        _, path = roundtrip
+        out = self._mutate(path, tmp_path,
+                           lambda t: t.replace("Atoms # full",
+                                               "Atoms # molecular")
+                                      .replace("Atoms # charge",
+                                               "Atoms # molecular"),
+                           "style")
+        with pytest.raises(ValueError, match="style 'molecular'"):
+            ld.read_lammps_data(out)
+
+    def test_triclinic_tilt_raises(self, roundtrip, tmp_path):
+        _, path = roundtrip
+        out = self._mutate(
+            path, tmp_path,
+            lambda t: t.replace(
+                "zlo zhi", "zlo zhi\n2.5 0.0 0.0 xy xz yz"), "tilt")
+        with pytest.raises(ValueError, match="triclinic"):
+            ld.read_lammps_data(out)
+        # ZERO tilt is orthorhombic spelled differently — must parse
+        out0 = self._mutate(
+            path, tmp_path,
+            lambda t: t.replace(
+                "zlo zhi", "zlo zhi\n0.0 0.0 0.0 xy xz yz"), "tilt0")
+        ld.read_lammps_data(out0)
+
+    def test_unknown_section_raises(self, roundtrip, tmp_path):
+        _, path = roundtrip
+        out = self._mutate(path, tmp_path,
+                           lambda t: t + "\nPairIJ Coeffs\n\n1 1 0.1 3.0\n",
+                           "pairij")
+        with pytest.raises(ValueError, match="unknown data-file section"):
+            ld.read_lammps_data(out)

@@ -159,19 +159,25 @@ def rollback_replicas(batch, prev, fin: jax.Array, salt: int):
 
 
 def replica_healthy(batch, lam_min: float = -0.1, lam_max: float = 1.1,
-                    v_lam_max: float = 0.5) -> jax.Array:
-    """(R,) bool: finite AND the λ subsystem is physically sane.
+                    v_lam_max: float = 0.5,
+                    v_atom_max: float = 5.0) -> jax.Array:
+    """(R,) bool: finite AND the λ AND atom subsystems are physically sane.
 
     Finiteness alone is not health: the round-4 stage-2 campaign carried
     a corrupt-but-finite walker for ~50 chunks (λ outside the reflective
-    walls at 1.49, |v_λ| = 1.55 λ/fs ≈ 60× thermal, ext_work −1e23 —
-    all finite, so replica_finite never fired and the rollback guard
-    kept "recovering" to the corrupt state). A walker whose λ sits
-    outside [lam_min, lam_max] or whose |v_λ| exceeds `v_lam_max`
-    (thermal v_λ for m_λ=20 is ~0.025 λ/fs; 0.5 is 20× that) is doomed
-    statistics even while finite — roll it back like a NaN.
+    walls at 1.49, |v_λ| = 1.55 λ/fs ≈ 60× thermal, atom velocities at
+    5e9 Å/fs, ext_work −1e23 — all finite, so replica_finite never fired
+    and the rollback guard kept "recovering" to the corrupt state). A
+    walker whose λ sits outside [lam_min, lam_max], whose |v_λ| exceeds
+    `v_lam_max` (thermal v_λ for m_λ=20 is ~0.025 λ/fs; 0.5 is 20×
+    that), or whose atom speeds exceed `v_atom_max` Å/fs (thermal is
+    ~0.01; parked tile slots carry v = 0 so they never trip this) is
+    doomed statistics even while finite — roll it back like a NaN.
     """
     fin = replica_finite(batch)
     lam_ok = ((batch.lam >= lam_min) & (batch.lam <= lam_max)).all(axis=1)
     v_ok = (jnp.abs(batch.v_lam) <= v_lam_max).all(axis=1)
-    return fin & lam_ok & v_ok
+    R = batch.lam.shape[0]
+    wv_ok = (jnp.abs(batch.wv.reshape(R, -1)) <= v_atom_max).all(axis=1)
+    sv_ok = (jnp.abs(batch.sv.reshape(R, -1)) <= v_atom_max).all(axis=1)
+    return fin & lam_ok & v_ok & wv_ok & sv_ok

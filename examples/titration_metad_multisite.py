@@ -406,6 +406,31 @@ def main():
                 v_lam=jnp.zeros_like(batch_src.v_lam))
             log("adopted source bias tables + clamped lambda walkers "
                 "(landscape refinement mode)")
+        # health-screen the ADOPTED atoms: a corrupt-but-finite source
+        # replica (stage-2's pH-5 walker: positions 1e10 Å, velocities
+        # 5e9 Å/fs) must not seed the campaign. Bad replicas borrow the
+        # nearest healthy replica's atomic state (solvent configs differ
+        # across pH only through protonation, and λ re-relaxes in ps).
+        from constant_ph_tpu.parallel.replica import replica_healthy
+        ok_src = np.asarray(replica_healthy(
+            batch, lam_min=-0.125, lam_max=1.125, v_lam_max=0.5))
+        if not ok_src.all():
+            badr = np.where(~ok_src)[0]
+            good = np.where(ok_src)[0]
+            if good.size == 0:
+                raise SystemExit("--init-atoms-from: every source "
+                                 "replica is unhealthy")
+            sub = good[np.argmin(
+                np.abs(good[:, None] - badr[None, :]), axis=0)]
+            srcmap = np.arange(R)
+            srcmap[badr] = sub
+            log(f"source replicas {badr.tolist()} unhealthy -> adopting "
+                f"atoms from {sub.tolist()} instead")
+            sm = jnp.asarray(srcmap)
+            batch = batch.replace(
+                wx=batch.wx[sm], wv=batch.wv[sm],
+                wvalid=batch.wvalid[sm], wid=batch.wid[sm],
+                sx=batch.sx[sm], sv=batch.sv[sm])
         batch = jax.device_put(batch, dev)
         save_ckpt(args.ckpt, batch, 0, dG, ts.params.W,
                   args.buffer_waters, tail_sum, tail_n,

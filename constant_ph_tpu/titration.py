@@ -192,6 +192,7 @@ def calibrate_dG_ref_metad(
     n_steps: int = 60_000,
     chunk: int | None = None,
     tail_frac: float = 0.5,
+    on_stuck: str = "raise",
 ):
     """PER-SITE ΔG_ref from ONE well-tempered λ-metadynamics run.
 
@@ -268,6 +269,15 @@ def calibrate_dG_ref_metad(
     if never.any() or not np.isfinite(df_meas).all():
         bad = sorted(set(np.where(never)[0].tolist())
                      | set(np.where(~np.isfinite(df_meas))[0].tolist()))
+        if on_stuck == "nan":
+            # survey mode (e.g. the cross-check driver): report the
+            # stuck sites as NaN and keep the finite ones
+            df_meas = df_meas.copy()
+            df_meas[bad] = np.nan
+            kT = units.BOLTZ * cfg.T
+            pH = float(np.asarray(tstate.pH))
+            df_want = kT * units.LN10 * (np.asarray(tsys.spec.pK) - pH)
+            return np.asarray(tsys.spec.dG_ref) + (df_meas - df_want)
         raise RuntimeError(
             f"metad calibration never crossed the λ barrier on sites "
             f"{bad} after {n_steps} steps (hills deposited in one "

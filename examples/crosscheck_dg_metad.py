@@ -82,15 +82,16 @@ def main():
     ts.spec = titration.apply_dG_ref(ts.spec, args.dg_ref)
     cfg = EngineConfig(dt=2.0, thermostat="langevin", T=300.0, gamma=0.002,
                        lambda_thermostat="langevin", lambda_gamma=0.05,
-                       rebuild_every=12)
+                       rebuild_every=12, lam_min=-0.12, lam_max=1.12)
     from constant_ph_tpu import metad as metad_mod
     mp = metad_mod.MetadParams(nbins=241, sigma=args.sigma, h0=args.hill,
                                gamma=args.gamma, stride=args.stride,
                                T=300.0)
     dg_sites = titration.calibrate_dG_ref_metad(
-        ts, tst, cfg, n_steps=args.steps, metad_params=mp)
+        ts, tst, cfg, n_steps=args.steps, metad_params=mp,
+        on_stuck="nan")
     dg_sites = np.asarray(dg_sites, np.float64)
-    med = float(np.median(dg_sites))
+    med = float(np.nanmedian(dg_sites))
     log(f"metad per-site dG_ref: median {med:.2f}, installed "
         f"{args.dg_ref:.2f}, spread IQR "
         f"{np.percentile(dg_sites, 75) - np.percentile(dg_sites, 25):.2f} "

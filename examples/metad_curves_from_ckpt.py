@@ -75,6 +75,23 @@ def main():
                         "deprotonated": float(frac[g, i]), "hh": hh})
             devs.append(abs(frac[g, i] - hh))
         per_site.append({"site": i, "pK": float(pks[i]), "curve": pts})
+    # per-pK-class curves: sites of one class are chemically identical
+    # model compounds, so their class-mean fraction is the estimator
+    # with per-site V-table noise averaged down by sqrt(n_sites/class)
+    # — the acceptance-bar quantity (VERDICT r4 task 1: per-class mean
+    # abs dev <= 0.05)
+    per_class, cdevs = [], []
+    for pk in sorted(set(np.round(pks, 4).tolist())):
+        sel = np.abs(pks - pk) < 1e-3
+        pts = []
+        for g in np.argsort(pH):
+            hh = 1.0 / (1.0 + 10.0 ** (pk - pH[g]))
+            mean_f = float(frac[g, sel].mean())
+            pts.append({"pH": float(pH[g]), "deprotonated": mean_f,
+                        "hh": hh})
+            cdevs.append(abs(mean_f - hh))
+        per_class.append({"pK": float(pk), "n_sites": int(sel.sum()),
+                          "curve": pts})
     out = {
         "method": rep["method"],
         "estimator": "instantaneous converged V-table (final checkpoint), "
@@ -84,8 +101,11 @@ def main():
         "dG_ref": rep["dG_ref"],
         "metad": rep["metad"],
         "per_site": per_site,
+        "per_class": per_class,
         "summary": {"mean_abs_dev": float(np.mean(devs)),
-                    "max_abs_dev": float(np.max(devs))},
+                    "max_abs_dev": float(np.max(devs)),
+                    "class_mean_abs_dev": float(np.mean(cdevs)),
+                    "class_max_abs_dev": float(np.max(cdevs))},
     }
     dst = args.out or args.ckpt.replace(".npz", "_curves.json")
     with open(dst, "w") as fh:

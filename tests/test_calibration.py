@@ -9,6 +9,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from constant_ph_tpu import lambda_dyn, titration
 from constant_ph_tpu.engine import EngineConfig
@@ -47,6 +48,7 @@ def test_ti_exact_on_static_environment():
     np.testing.assert_allclose(got, want, rtol=5e-3, atol=0.1)
 
 
+@pytest.mark.acceptance
 def test_ti_tiled_matches_canonical():
     sys_ = solvated_acid(n_side=4, rigid_water=True, lambda_coupled=True,
                          cutoff=6.0, coul_style="dsf", alpha=0.2, seed=22)

@@ -34,6 +34,7 @@ def _write_cfg(tmp_path, tiled):
 
 
 @pytest.mark.parametrize("tiled", [False, True])
+@pytest.mark.acceptance
 def test_cli_run(tmp_path, capsys, tiled):
     p = _write_cfg(tmp_path, tiled)
     main(["run", p])
@@ -46,6 +47,7 @@ def test_cli_run(tmp_path, capsys, tiled):
     assert len(lines) == 4
 
 
+@pytest.mark.acceptance
 def test_cli_run_pme(tmp_path, capsys):
     """kspace style 'pme' end-to-end through the CLI tiled path."""
     p = _write_cfg(tmp_path, True)
@@ -59,6 +61,7 @@ def test_cli_run_pme(tmp_path, capsys):
     assert np.isfinite(summary["e_pot"])
 
 
+@pytest.mark.acceptance
 def test_cli_run_trajectory(tmp_path, capsys):
     """run.trajectory writes a readable DCD with the right frame count."""
     from constant_ph_tpu.trajectory import read_dcd
@@ -74,6 +77,7 @@ def test_cli_run_trajectory(tmp_path, capsys):
     assert np.all(np.isfinite(frames[-1]))
 
 
+@pytest.mark.acceptance
 def test_cli_run_npt(tmp_path, capsys):
     """run.pressure switches the tiled production loop to the MC-barostat
     NPT driver (tiled/npt.py); kspace + pressure must refuse."""
@@ -101,6 +105,7 @@ def test_cli_titrate(tmp_path, capsys):
     assert len(out["deprotonated_fraction"]) == 2
 
 
+@pytest.mark.acceptance
 def test_cli_titrate_metad(tmp_path, capsys):
     """--method metad: vmapped λ-metadynamics walkers through the tiled
     engine; smoke-level (estimator convergence is tests/test_metad.py's
@@ -117,15 +122,23 @@ def test_cli_titrate_metad(tmp_path, capsys):
     assert np.isfinite(np.asarray(out["per_site"])).all()
 
 
-def test_cli_calibrate_metad(tmp_path, capsys):
+@pytest.mark.acceptance
+def test_cli_calibrate_metad_refuses_undersampled(tmp_path):
+    """A 400-step metad calibration cannot legitimately cross the λ
+    barrier; the CLI must surface the named never-crossed error instead
+    of printing a silent garbage constant (the round-4 failure mode:
+    13/20 sites at −inf from the soft protocol). The happy path is
+    covered at the library level (tests/test_metad.py::
+    test_metad_per_site_calibration_uncoupled)."""
+    import pytest
+
     p = _write_cfg(tmp_path, True)
-    main(["calibrate", p, "--equil", "20", "--samples", "400",
-          "--method", "metad"])
-    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert out["method"] == "metad"
-    assert np.isfinite(np.asarray(out["dG_ref_per_site"])).all()
+    with pytest.raises(RuntimeError, match="never crossed"):
+        main(["calibrate", p, "--equil", "20", "--samples", "400",
+              "--method", "metad"])
 
 
+@pytest.mark.acceptance
 def test_cli_run_lammps_deck(tmp_path, capsys):
     """Deck-driven run through the CLI: builder 'lammps_data' reads a
     LAMMPS data file + λ-site sidecar (the reference's complete input

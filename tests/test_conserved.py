@@ -11,6 +11,7 @@ off-boundary rows under k-space impulse MTS.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from constant_ph_tpu import metad
 from constant_ph_tpu.engine import EngineConfig
@@ -39,6 +40,7 @@ def _relax(ts, tst, n=150):
     return tst.replace(ext_work=jnp.zeros_like(tst.ext_work))
 
 
+@pytest.mark.acceptance
 def test_nhc_pme_bounded_h_drift():
     """NHC atoms + NHC λ + PME reciprocal space: the accounted
     h_conserved must drift only by integrator error while the NHC bath
@@ -71,6 +73,7 @@ def test_nhc_pme_bounded_h_drift():
     assert drift < 0.2 * abs(w[-1] - w[0]) + 1e-3
 
 
+@pytest.mark.acceptance
 def test_langevin_effective_energy_bounded():
     """Langevin OU heat accounting: h_conserved tracks the effective
     energy, whose drift is pure integrator shadow work — bounded and
@@ -96,6 +99,7 @@ def test_langevin_effective_energy_bounded():
     assert np.std(h) < 0.02 * ke.mean()
 
 
+@pytest.mark.acceptance
 def test_metad_deposit_work_accounted():
     """Active hill deposits raise e_site discontinuously; ext_work must
     absorb the jumps so h_conserved stays flat across deposit

@@ -102,6 +102,7 @@ def test_forces_parity(roundtrip):
     np.testing.assert_allclose(fb / scale, fa / scale, atol=1e-5)
 
 
+@pytest.mark.acceptance
 def test_deck_runs_on_tiled_engine(roundtrip):
     """read_data → split_system → TiledEngine: the production path the
     reference's ecosystem assumes, end to end."""

@@ -137,6 +137,7 @@ def test_metad_estimator_matches_hh_on_default_landscape(dpH):
     assert abs(est - want) < 0.07, (est, want)
 
 
+@pytest.mark.acceptance
 def test_engine_metad_deposits_and_drives_crossings():
     """Tiled-engine integration: with metadynamics on, hill tables grow
     and λ crosses the (default, ~10 kT) barrier within a short CPU run;
@@ -180,6 +181,7 @@ def test_engine_metad_deposits_and_drives_crossings():
         eng_m.compute_forces(tst)
 
 
+@pytest.mark.acceptance
 def test_frozen_metad_bias_conserves_h():
     """A frozen (static) metadynamics bias is a conservative potential:
     NVE + λ with the bias must conserve H_λ (the e_site bookkeeping and
@@ -217,6 +219,7 @@ def test_frozen_metad_bias_conserves_h():
     np.testing.assert_array_equal(np.asarray(st.metad_v), np.asarray(V))
 
 
+@pytest.mark.acceptance
 def test_metad_per_site_calibration_uncoupled():
     """calibrate_dG_ref_metad fixed point: with dq = 0 and dG_ref = 0 the
     landscape is exactly bias + pH term, whose basin ΔF already equals the
@@ -257,6 +260,7 @@ def test_deposit_many_equals_sequential_deposits():
                                atol=1e-5)
 
 
+@pytest.mark.acceptance
 def test_shared_walkers_estimator_matches_hh():
     """Multiple-walkers with a SHARED (chunk-frozen, delayed) bias must
     converge the same HH observable as in-run deposits: 4 walkers at
@@ -398,6 +402,7 @@ def test_mesh_group_merge_matches_serial_frozen_merge():
                                    rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.acceptance
 def test_calibrate_metad_refuses_silent_inf():
     """A metad calibration that never crosses the λ barrier must raise,
     not return -inf (round-4 finding: the old soft default protocol

@@ -34,6 +34,7 @@ def _build(n_side=5, seed=7):
     return sys_, ts, tst, ep
 
 
+@pytest.mark.acceptance
 def test_mts_impulse_equals_every_step_at_frozen_positions():
     """Over one MTS period at vanishing dt (positions frozen), the total
     impulse delivered by the amplified boundary kicks must equal the
@@ -55,6 +56,7 @@ def test_mts_impulse_equals_every_step_at_frozen_positions():
     np.testing.assert_allclose(vs[2][1], vs[1][1], atol=scale * 3e-6)
 
 
+@pytest.mark.acceptance
 def test_mts_conserved_quantity_across_rebuild_boundaries():
     """NVE with k=2 across many rebuild blocks: the boundary-sampled
     conserved quantity must show no systematic drift (the block-start
@@ -100,6 +102,7 @@ def test_mts_validation():
     TiledEngine(ts, EngineConfig(rebuild_every=10, kspace_every=4))
 
 
+@pytest.mark.acceptance
 def test_mts_stale_phi_lambda_force():
     """Between MTS boundaries the λ force keeps the previous boundary's
     reciprocal φ (mollified slow force) instead of dropping the term:
@@ -130,6 +133,7 @@ def test_mts_stale_phi_lambda_force():
     assert np.abs(du3 - du1)[2::3].max() < 0.02 * recip + 0.05
 
 
+@pytest.mark.acceptance
 def test_mts_phi_carry_across_run_invocations():
     """The k-space MTS carry lives in TiledState: two chained make_run
     chunks whose boundary does NOT land on a kspace_every multiple must

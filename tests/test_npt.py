@@ -93,6 +93,7 @@ def test_npt_kspace_refused():
         make_mc_barostat(eng, pressure_atm=1.0, T=300.0)
 
 
+@pytest.mark.acceptance
 def test_npt_elastic_run_smoke():
     sys_, ts, tst = _build()
     cfg = EngineConfig(dt=1.0, thermostat="langevin", T=300.0, gamma=0.01,

@@ -12,6 +12,7 @@ from constant_ph_tpu.tiled.pallas_ww import water_water_pallas
 
 
 @pytest.mark.parametrize("style,alpha", [("dsf", 0.2), ("cut", 0.35)])
+@pytest.mark.acceptance
 def test_pallas_matches_roll_stencil(style, alpha):
     # dilute box → grid 4³ with small W (fast in interpret mode)
     sys_ = solvated_acid(n_side=8, spacing=6.4, rigid_water=True,

@@ -1,5 +1,6 @@
 """pH replica exchange: Metropolis bookkeeping + tiled-engine REX."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -58,6 +59,7 @@ def test_detailed_balance_exponent():
     np.testing.assert_allclose(np.asarray(batch2.pH), [8.0, 3.0])
 
 
+@pytest.mark.acceptance
 def test_tiled_rex_block():
     sys_ = solvated_acid(n_side=4, rigid_water=True, lambda_coupled=0.2,
                          cutoff=6.0, coul_style="dsf", alpha=0.2, seed=3)

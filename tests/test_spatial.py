@@ -90,6 +90,7 @@ def setup_dense():
     return ts, tst, eng
 
 
+@pytest.mark.acceptance
 def test_sharded_rolls_lower_to_collective_permute(setup):
     """The compiled x-slab-sharded step must move halos via
     collective-permute (the ghost exchange, fix_constant_pH.cpp:287-308
@@ -111,6 +112,7 @@ def test_sharded_rolls_lower_to_collective_permute(setup):
             f"per-step all-gather of a full tile array: {m.group(1)}")
 
 
+@pytest.mark.acceptance
 def test_sharded_step_trajectory_parity(setup):
     ts, tst, eng = setup
     run = eng.make_run(10)

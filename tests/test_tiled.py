@@ -127,6 +127,7 @@ def test_roundtrip_canonical_tiled():
                                atol=1e-6)
 
 
+@pytest.mark.acceptance
 def test_tiled_nve_conservation_with_lambda():
     sys_, _ = _build(seed=9)
     cfg = EngineConfig(dt=1.0, thermostat="nve", lambda_thermostat="none",
@@ -180,6 +181,7 @@ def test_tiled_ewald_matches_reference():
                                rtol=1e-3, atol=1e-2)
 
 
+@pytest.mark.acceptance
 def test_fast_ww_matches_tally_path():
     """water_water_fast (hot path: parked invalid slots, per-cell-shift PBC,
     O-O-only LJ, no tallies) vs the masked tally oracle on a grid ≥ 3
@@ -229,6 +231,7 @@ def test_retile_auto_cost_model():
     assert min(costs, key=costs.get) == 56
 
 
+@pytest.mark.acceptance
 def test_retile_capacity():
     """retile() shrinks W and preserves state + energies exactly."""
     from constant_ph_tpu.tiled.layout import retile
@@ -251,6 +254,7 @@ def test_retile_capacity():
     np.testing.assert_allclose(e1, e0, rtol=1e-5)
 
 
+@pytest.mark.acceptance
 def test_pme_matches_factorized_ewald():
     """FFT-based PME (ops/pme.py, scatter-free tile spreading) vs the
     factorized-matmul Ewald oracle through the full tiled engine: energy,
@@ -310,6 +314,7 @@ def test_pme_matches_factorized_ewald():
     assert abs(h[-1] - h[0]) < 0.05 * ke.mean(), (h[0], h[-1], ke.mean())
 
 
+@pytest.mark.acceptance
 def test_elastic_run_grows_capacity():
     """elastic_run must grow W on the early overflow flag without losing
     molecules (the grow-on-overflow analog of LAMMPS memory->grow)."""

@@ -148,17 +148,24 @@ def _basin_logZ(V, p: MetadParams):
     exceeds ~50 kcal, and the old ±(1−1e-12) clip rounds to exactly 1.0
     in f32, which is how round-4's calibrator cross-check leaked −inf
     on 13/20 sites (results/dg_crosscheck_metad_v5e.json)."""
+    return _basin_logZ_F(free_energy(V, p), p)
+
+
+def _basin_logZ_F(F, p: MetadParams):
+    """_basin_logZ on an explicit free-energy profile F (…, nbins) —
+    the shared body for both the per-walker estimator (F from one V
+    table) and the pooled estimator (F assembled from many tables plus
+    the analytic pH term)."""
     kT = units.BOLTZ * p.T
-    F = free_energy(V, p)
     # trapezoid weights (uniform grid): half at the ends
-    tw = jnp.ones((p.nbins,), V.dtype).at[0].set(0.5).at[-1].set(0.5)
-    logw = -F / kT + jnp.log(tw)[None, :]
-    dep = (p.grid() > 0.5)[None, :]
-    neg = jnp.asarray(-jnp.inf, V.dtype)
+    tw = jnp.ones((p.nbins,), F.dtype).at[0].set(0.5).at[-1].set(0.5)
+    logw = -F / kT + jnp.log(tw)
+    dep = p.grid() > 0.5
+    neg = jnp.asarray(-jnp.inf, F.dtype)
     lz_dep = jax.scipy.special.logsumexp(
-        jnp.where(dep, logw, neg), axis=1)
+        jnp.where(dep, logw, neg), axis=-1)
     lz_prot = jax.scipy.special.logsumexp(
-        jnp.where(dep, neg, logw), axis=1)
+        jnp.where(dep, neg, logw), axis=-1)
     return lz_dep, lz_prot
 
 
@@ -177,6 +184,67 @@ def delta_f_sites(V, p: MetadParams):
     Always finite for finite V (log-space basin sums, _basin_logZ)."""
     kT = units.BOLTZ * p.T
     lz_dep, lz_prot = _basin_logZ(V, p)
+    return -kT * (lz_dep - lz_prot)
+
+
+def pooled_intrinsic_profile(V, pK, pH, p: MetadParams,
+                             switch_slope: float = 50.0):
+    """Minimum-variance intrinsic free-energy profiles F0_s(λ), pooled
+    across pH walkers (Rao–Blackwellization over the analytic pH term).
+
+    The simulated landscape at a walker's pH differs from the intrinsic
+    (pH-independent) profile F0_s(λ) by EXACTLY the analytic driving
+    term kT·ln10·(pK_s − pH)·f(λ) (lambda_dyn.switching; ref
+    fix_constant_pH.cpp:111) — nothing else in the Hamiltonian depends
+    on pH. Every pH walker's well-tempered table is therefore an
+    independent estimate of the SAME F0_s up to that known term and an
+    arbitrary per-walker constant (which cancels in basin differences),
+    so the minimum-variance estimator subtracts the term and averages
+    the profiles: per-point noise drops ~√G and the per-(site, pH)
+    curve points stop being independently noisy. Measured on the
+    round-5 stage-3 checkpoint: per-site curve mad 0.191 → 0.113 and
+    every pooled curve became monotonic, exposing the residual as one
+    clean global ΔG_ref offset (class spread ±0.07 kcal) instead of
+    ±1.3 kcal per-point scatter.
+
+    V: (G, S, nbins) per-pH-group tables (walkers at the same pH share
+    one merged table — pass one table per pH group). pK: (S,), pH: (G,).
+    switch_slope must match the installed BiasParams.switch_slope.
+    Returns F0: (S, nbins), min-shifted per site.
+    """
+    kT = units.BOLTZ * p.T
+    f_lam = jax.nn.sigmoid(switch_slope * (p.grid() - 0.5))   # (B,)
+    F = -(p.gamma / (p.gamma - 1.0)) * V                      # (G,S,B)
+    drive = kT * jnp.log(10.0) * (pK[None, :] - pH[:, None])  # (G,S)
+    F0 = F - drive[:, :, None] * f_lam[None, None, :]
+    F0 = F0 - jnp.min(F0, axis=2, keepdims=True)
+    F0 = jnp.mean(F0, axis=0)
+    return F0 - jnp.min(F0, axis=1, keepdims=True)
+
+
+def fraction_at_ph(F0, pK, pH, p: MetadParams,
+                   switch_slope: float = 50.0):
+    """Deprotonated fraction at an arbitrary pH from pooled intrinsic
+    profiles: basin-integrate F0_s(λ) + kT·ln10·(pK_s − pH)·f(λ). The
+    inverse of the subtraction in pooled_intrinsic_profile, so for
+    noise-free tables this reproduces deprotonated_fraction of the
+    original landscape exactly (tests/test_metad.py). F0: (S, nbins);
+    pH: scalar. Returns (S,)."""
+    kT = units.BOLTZ * p.T
+    f_lam = jax.nn.sigmoid(switch_slope * (p.grid() - 0.5))
+    drive = kT * jnp.log(10.0) * (pK - pH)[:, None] * f_lam[None, :]
+    lz_dep, lz_prot = _basin_logZ_F(F0 + drive, p)
+    return jax.nn.sigmoid(lz_dep - lz_prot)
+
+
+def pooled_delta_f(F0, p: MetadParams):
+    """Intrinsic basin ΔF_s (dep − prot, kcal/mol) of pooled profiles.
+    Under a correctly calibrated ΔG_ref this is 0 for every site (the
+    pK is already carried by the analytic driving term), so the mean
+    over sites IS the fixed-point ΔG_ref correction — the pooled
+    version of metad_vtable_residual.py's median."""
+    kT = units.BOLTZ * p.T
+    lz_dep, lz_prot = _basin_logZ_F(F0, p)
     return -kT * (lz_dep - lz_prot)
 
 

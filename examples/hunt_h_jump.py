@@ -50,6 +50,11 @@ def main():
     ap.add_argument("--kspace-every", type=int, default=1)
     ap.add_argument("--dsf", action="store_true",
                     help="DSF electrostatics control (no k-space)")
+    ap.add_argument("--lambda-live", action="store_true",
+                    help="leave λ dynamics ON during the NVE hunt (the "
+                         "measure_nve_drift.py configuration — its "
+                         "λ-live PME rows blow up where λ-frozen is "
+                         "clean, round 5)")
     ap.add_argument("--rebuild-every", type=int, default=12)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--small", action="store_true")
@@ -93,7 +98,8 @@ def main():
     log(f"equilibrated T={float(obs.temp[-1]):.0f}K W={ts.params.W}")
 
     cfg = EngineConfig(dt=2.0, thermostat="nve", lambda_thermostat="none",
-                       lambda_frozen=True, rebuild_every=args.rebuild_every,
+                       lambda_frozen=not args.lambda_live,
+                       rebuild_every=args.rebuild_every,
                        kspace_every=args.kspace_every)
     eng = TiledEngine(ts, cfg, kspace_ep=pme)
     assert args.chunk % cfg.rebuild_every == 0

@@ -433,3 +433,78 @@ def test_calibrate_metad_refuses_silent_inf():
     with pytest.raises(RuntimeError, match="never crossed"):
         titration.calibrate_dG_ref_metad(
             ts, tst, cfg, metad_params=crippled, n_steps=1500, chunk=250)
+
+
+def test_pooled_profile_exact_on_noise_free_tables():
+    """Rao–Blackwell identity: when every pH walker's table is exactly
+    (1−1/γ)·(F0 + driving), pooled_intrinsic_profile recovers F0 up to
+    a constant, fraction_at_ph reproduces deprotonated_fraction of each
+    original landscape, and pooled_delta_f returns F0's basin ΔF."""
+    p = metad.MetadParams(nbins=161, gamma=20.0)
+    grid = p.grid()
+    slope = 50.0
+    f_lam = jax.nn.sigmoid(slope * (grid - 0.5))
+    kT = units.BOLTZ * p.T
+    pK = jnp.asarray([4.25, 6.5])
+    pH = jnp.asarray([3.5, 5.0, 6.5])
+    # synthetic intrinsic double well, different asymmetry per site
+    F0 = jnp.stack([6.0 * (grid - 0.2) ** 2 * (grid - 0.9) ** 2 * 10.0
+                    + off * f_lam for off in (0.0, 1.3)])
+    F0 = F0 - F0.min(axis=1, keepdims=True)
+    drive = kT * jnp.log(10.0) * (pK[None, :] - pH[:, None])
+    Ftot = F0[None] + drive[:, :, None] * f_lam[None, None, :]
+    V = -(1.0 - 1.0 / p.gamma) * Ftot                    # (G, S, B)
+
+    F0_hat = metad.pooled_intrinsic_profile(V, pK, pH, p, slope)
+    d = np.array(F0_hat - F0)
+    d -= d.min(axis=1, keepdims=True)                    # constant offset
+    assert np.abs(d).max() < 1e-3
+
+    for g in range(3):
+        want = metad.deprotonated_fraction(V[g], p)
+        got = metad.fraction_at_ph(F0_hat, pK, float(pH[g]), p, slope)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-4)
+
+    df0 = np.asarray(metad.pooled_delta_f(F0_hat, p))
+    lzd, lzp = metad._basin_logZ_F(F0, p)
+    want_df = -kT * np.asarray(lzd - lzp)
+    np.testing.assert_allclose(df0, want_df, atol=2e-3)
+
+
+def test_pooled_profile_averages_down_noise():
+    """Independent per-walker table noise must shrink ~√G in the pooled
+    basin ΔF: pooling 16 noisy walkers lands an order of magnitude
+    closer to truth than the mean per-walker estimate error."""
+    p = metad.MetadParams(nbins=161, gamma=20.0)
+    grid = p.grid()
+    slope = 50.0
+    f_lam = jax.nn.sigmoid(slope * (grid - 0.5))
+    kT = units.BOLTZ * p.T
+    pK = jnp.asarray([4.25])
+    G = 16
+    pH = jnp.linspace(3.0, 6.0, G)
+    F0 = (6.0 * (grid - 0.2) ** 2 * (grid - 0.9) ** 2 * 10.0)[None, :]
+    drive = kT * jnp.log(10.0) * (pK[None, :] - pH[:, None])
+    Ftot = F0[None] + drive[:, :, None] * f_lam[None, None, :]
+    key = jax.random.PRNGKey(7)
+    # smooth correlated noise (hill-shaped), ±~0.8 kcal — the measured
+    # per-walker V-table error scale at campaign strength
+    centers = jax.random.uniform(key, (G, 1, 24), minval=0.0, maxval=1.0)
+    amps = 0.4 * jax.random.normal(jax.random.fold_in(key, 1), (G, 1, 24))
+    bumps = jnp.sum(
+        amps[..., None] * jnp.exp(-(grid[None, None, None, :]
+                                    - centers[..., None]) ** 2
+                                  / (2 * 0.08 ** 2)), axis=2)
+    V = -(1.0 - 1.0 / p.gamma) * (Ftot + bumps)
+
+    lzd, lzp = metad._basin_logZ_F(jnp.asarray(F0), p)
+    truth = float(-kT * (lzd - lzp)[0])
+    per_walker = np.asarray(
+        [metad.delta_f_sites(V[g], p)[0]
+         - float(drive[g, 0]) for g in range(G)])
+    pooled = float(metad.pooled_delta_f(
+        metad.pooled_intrinsic_profile(V, pK, pH, p, slope), p)[0])
+    err_single = np.abs(per_walker - truth).mean()
+    err_pooled = abs(pooled - truth)
+    assert err_pooled < err_single / 2.5, (err_pooled, err_single)

@@ -237,6 +237,32 @@ def fraction_at_ph(F0, pK, pH, p: MetadParams,
     return jax.nn.sigmoid(lz_dep - lz_prot)
 
 
+def retilt_profile(F0, dG_ref_from, dG_ref_to, p: MetadParams,
+                   switch_slope: float = 50.0):
+    """Evaluate intrinsic profiles at a DIFFERENT ΔG_ref, analytically.
+
+    ΔG_ref enters the λ Hamiltonian only through the linear term
+    −ΔG_ref·f(λ) (lambda_dyn.ph_energy; ref fix_constant_pH.cpp:111),
+    so a landscape converged while simulating at `dG_ref_from` IS the
+    landscape at `dG_ref_to` plus the known tilt
+    (dG_ref_from − dG_ref_to)·f(λ) — no re-run required. This is how a
+    calibration correction (global or per-class) is applied to an
+    already-converged campaign checkpoint: metadynamics converges to
+    the same free-energy estimate whatever the tilt, so re-running at
+    the corrected constant only changes sampling efficiency, never the
+    converged answer.
+
+    F0: (S, nbins) from pooled_intrinsic_profile (which was fed tables
+    simulated at dG_ref_from). dG_ref_from/to: scalars or (S,).
+    Returns the retilted (S, nbins) profiles, min-shifted per site.
+    """
+    f_lam = jax.nn.sigmoid(switch_slope * (p.grid() - 0.5))
+    delta = jnp.asarray(dG_ref_from) - jnp.asarray(dG_ref_to)
+    delta = jnp.broadcast_to(jnp.atleast_1d(delta), (F0.shape[0],))
+    F = F0 + delta[:, None] * f_lam[None, :]
+    return F - jnp.min(F, axis=1, keepdims=True)
+
+
 def pooled_delta_f(F0, p: MetadParams):
     """Intrinsic basin ΔF_s (dep − prot, kcal/mol) of pooled profiles.
     Under a correctly calibrated ΔG_ref this is 0 for every site (the

@@ -48,7 +48,17 @@ def main():
                          "~√(G·n_sites) less noise than per-point "
                          "tables. The acceptance-bar estimator from "
                          "round 5 on")
+    ap.add_argument("--dg-ref-eval", default=None,
+                    help="evaluate the pooled curves at this ΔG_ref "
+                         "instead of the simulated one (a float, or "
+                         "'class-fixed' for the per-class V-table fixed "
+                         "point). Exact: ΔG_ref is a linear tilt of the "
+                         "λ Hamiltonian (metad.retilt_profile), so the "
+                         "converged landscape re-evaluates at any "
+                         "constant without a re-run. Requires --pooled")
     args = ap.parse_args()
+    if args.dg_ref_eval is not None and not args.pooled:
+        ap.error("--dg-ref-eval requires --pooled")
 
     import jax
     jax.config.update("jax_platforms", "cpu")
@@ -78,23 +88,48 @@ def main():
         # per-class F0 additionally pooled over the class's sites
         # (chemically identical model compounds) — ~√(G·n_sites) less
         # noise than independent per-point tables
+        D0 = float(rep["dG_ref"])
         F0 = np.asarray(metad.pooled_intrinsic_profile(
             jnp.asarray(V, jnp.float64) if V.dtype == np.float64
             else jnp.asarray(V), jnp.asarray(pks), jnp.asarray(pH), mp),
             np.float64)                                       # (S, B)
-        frac = np.stack([
-            np.asarray(metad.fraction_at_ph(jnp.asarray(F0),
-                                            jnp.asarray(pks),
-                                            float(pH[g]), mp), np.float64)
-            for g in range(G)])                               # (G, S)
         dfs = np.asarray(metad.pooled_delta_f(jnp.asarray(F0), mp),
                          np.float64)
         pooled_info = {
             "pooled_site_delta_f_kcal": [float(x) for x in dfs],
             "pooled_global_offset_kcal": float(np.mean(dfs)),
-            "pooled_fixed_point_dG_ref":
-                float(rep["dG_ref"] + np.mean(dfs)),
+            "pooled_fixed_point_dG_ref": float(D0 + np.mean(dfs)),
         }
+        # analytic ΔG_ref re-evaluation (metad.retilt_profile): ΔG_ref
+        # is a LINEAR tilt of the λ Hamiltonian, so a landscape
+        # converged at D0 evaluates exactly at any other constant —
+        # the calibration correction needs no re-run.
+        dg_eval = np.full(S, D0)
+        if args.dg_ref_eval == "class-fixed":
+            # per-class fixed point: the constant at which the CLASS-
+            # pooled intrinsic basin ΔF vanishes (the per-class version
+            # of the V-table fixed-point calibration, VERDICT r4 items
+            # 1/7). Computed from class-pooled profiles, not the mean
+            # of noisy per-site delta_f.
+            cls_fp = {}
+            for pk in sorted(set(np.round(pks, 4).tolist())):
+                sel = np.abs(pks - pk) < 1e-3
+                dfc = float(np.asarray(metad.pooled_delta_f(
+                    jnp.asarray(F0[sel].mean(0)[None]), mp))[0])
+                cls_fp[pk] = D0 + dfc
+                dg_eval[sel] = D0 + dfc
+            pooled_info["dg_ref_eval_per_class"] = {
+                str(k): float(v) for k, v in cls_fp.items()}
+        elif args.dg_ref_eval is not None:
+            dg_eval[:] = float(args.dg_ref_eval)
+            pooled_info["dg_ref_eval"] = float(args.dg_ref_eval)
+        F0 = np.asarray(metad.retilt_profile(
+            jnp.asarray(F0), D0, jnp.asarray(dg_eval), mp), np.float64)
+        frac = np.stack([
+            np.asarray(metad.fraction_at_ph(jnp.asarray(F0),
+                                            jnp.asarray(pks),
+                                            float(pH[g]), mp), np.float64)
+            for g in range(G)])                               # (G, S)
     else:
         frac = np.stack([
             np.asarray(metad.deprotonated_fraction(jnp.asarray(V[g]), mp),

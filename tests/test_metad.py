@@ -508,3 +508,44 @@ def test_pooled_profile_averages_down_noise():
     err_single = np.abs(per_walker - truth).mean()
     err_pooled = abs(pooled - truth)
     assert err_pooled < err_single / 2.5, (err_pooled, err_single)
+
+
+def test_retilt_profile_matches_rerun():
+    """ΔG_ref is a linear tilt: pooling tables simulated at D0 and
+    retilting to D1 must reproduce (exactly, up to a constant) the
+    profile that a run AT D1 would have converged to, and fraction_at_ph
+    on the retilted profile equals the D1 landscape's basin fractions."""
+    p = metad.MetadParams(nbins=161, gamma=20.0)
+    grid = p.grid()
+    slope = 50.0
+    f_lam = jax.nn.sigmoid(slope * (grid - 0.5))
+    kT = units.BOLTZ * p.T
+    pK = jnp.asarray([4.25, 6.5])
+    pH = jnp.asarray([3.5, 5.0, 6.5])
+    D0, D1 = -39.37, -38.62
+    Fphys = jnp.stack([6.0 * (grid - 0.2) ** 2 * (grid - 0.9) ** 2 * 10.0
+                       + off * f_lam for off in (0.3, -0.4)])
+
+    def tables(D):
+        drive = (kT * jnp.log(10.0) * (pK[None, :] - pH[:, None]) - D)
+        Ftot = Fphys[None] + drive[:, :, None] * f_lam[None, None, :]
+        return -(1.0 - 1.0 / p.gamma) * Ftot
+
+    F0_at_D0 = metad.pooled_intrinsic_profile(tables(D0), pK, pH, p, slope)
+    F0_re = metad.retilt_profile(F0_at_D0, D0, D1, p, slope)
+    F0_at_D1 = metad.pooled_intrinsic_profile(tables(D1), pK, pH, p, slope)
+    d = np.array(F0_re - F0_at_D1)
+    d -= d.min(axis=1, keepdims=True)
+    assert np.abs(d).max() < 1e-4
+    for g in range(3):
+        want = metad.deprotonated_fraction(tables(D1)[g], p)
+        got = metad.fraction_at_ph(F0_re, pK, float(pH[g]), p, slope)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-4)
+    # per-site retilt: site 0 to D1, site 1 stays — only site 0 moves
+    F0_mix = metad.retilt_profile(F0_at_D0, D0, jnp.asarray([D1, D0]),
+                                  p, slope)
+    np.testing.assert_allclose(np.asarray(F0_mix[1]),
+                               np.asarray(F0_at_D0[1]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(F0_mix[0]),
+                               np.asarray(F0_re[0]), atol=1e-6)

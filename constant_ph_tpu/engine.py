@@ -57,6 +57,14 @@ class EngineConfig:
     lambda_thermostat: str = struct.field(pytree_node=False, default="langevin")
     lambda_gamma: float = struct.field(pytree_node=False, default=0.005)
     lambda_tau: float = struct.field(pytree_node=False, default=200.0)
+    # λ-RESPA: sub-step λ against the ANALYTIC stiff force (Donnini
+    # wells + erf walls + pH driving; lambda_dyn.analytic_lambda_force)
+    # lambda_inner times per MD step, keeping the expensive φ·dq and
+    # metadynamics forces on the outer step. The walls' 8.9 fs period is
+    # 4.5 steps at dt=2 — unresolved Verlet → unbounded λ heating on a
+    # tilted landscape (measured round 5); 8 substeps resolve it at
+    # negligible cost (S-element closed forms). 1 = legacy single-rate.
+    lambda_inner: int = struct.field(pytree_node=False, default=8)
     rebuild_every: int = struct.field(pytree_node=False, default=20)
     # k-space multiple-timestepping (impulse / Verlet-I): evaluate the
     # reciprocal-space term every `kspace_every` steps and apply it as an
@@ -280,6 +288,32 @@ class Engine:
         active = ((step + offset) % nev) == 0
         return jnp.where(active, float(nev), 0.0)
 
+    def _lam_drift(self, lam, v_lam, pH, h, inv_ml):
+        """λ-RESPA inner drift: lambda_inner//2 velocity-Verlet substeps
+        against the analytic stiff force (wells + walls + pH driving) —
+        see tiled/engine.py._lam_drift for the measured stiffness story.
+        lambda_inner == 1 is the legacy single-rate drift."""
+        m = self.cfg.lambda_inner // 2
+        if m <= 0 or self.spec is None:
+            return lam + h * v_lam, v_lam
+        hs = h / m
+        for _ in range(m):
+            f = lambda_dyn.analytic_lambda_force(
+                lam, self.spec, pH, self.cfg.T, self.bias)
+            v_lam = v_lam + (0.5 * hs) * f * inv_ml
+            lam = lam + hs * v_lam
+            f = lambda_dyn.analytic_lambda_force(
+                lam, self.spec, pH, self.cfg.T, self.bias)
+            v_lam = v_lam + (0.5 * hs) * f * inv_ml
+        return lam, v_lam
+
+    def _lam_slow_force(self, f_lam, lam, pH):
+        """Outer λ force: total minus the part the inner loop owns."""
+        if self.cfg.lambda_inner // 2 <= 0 or self.spec is None:
+            return f_lam
+        return f_lam - lambda_dyn.analytic_lambda_force(
+            lam, self.spec, pH, self.cfg.T, self.bias)
+
     def _reflect_lam(self, lam, v_lam):
         # folding reflection — impenetrable at any |Δλ| (a single mirror
         # lets a drift longer than hi−lo escape; see tiled engine)
@@ -333,7 +367,8 @@ class Engine:
         v = v + (0.5 * dt) * frc.f * inv_m
         if move_lam:
             k1 = self._lam_kick_scale(state.step, 0)
-            v_lam = v_lam + (0.5 * dt) * k1 * frc.f_lam * inv_ml
+            v_lam = v_lam + (0.5 * dt) * k1 * self._lam_slow_force(
+                frc.f_lam, state.lam, state.pH) * inv_ml
 
         if cfg.thermostat == "langevin" or (
             move_lam and cfg.lambda_thermostat == "langevin"
@@ -343,7 +378,8 @@ class Engine:
         # A: half drift
         x = x + (0.5 * dt) * v
         if move_lam:
-            lam = lam + (0.5 * dt) * v_lam
+            lam, v_lam = self._lam_drift(lam, v_lam, state.pH, 0.5 * dt,
+                                         inv_ml)
 
         # O: thermostat (Langevin) — full dt OU update. The OU heat
         # (KE after − before) feeds ext_work: h_conserved then tracks the
@@ -373,7 +409,8 @@ class Engine:
         # A: half drift
         x = x + (0.5 * dt) * v
         if move_lam:
-            lam = lam + (0.5 * dt) * v_lam
+            lam, v_lam = self._lam_drift(lam, v_lam, state.pH, 0.5 * dt,
+                                         inv_ml)
             lam, v_lam = self._reflect_lam(lam, v_lam)
 
         # constraints (rigid water etc.): SHAKE positions onto the manifold
@@ -387,7 +424,8 @@ class Engine:
         v = v + (0.5 * dt) * frc_new.f * inv_m
         if move_lam:
             k2 = self._lam_kick_scale(state.step, 1)
-            v_lam = v_lam + (0.5 * dt) * k2 * frc_new.f_lam * inv_ml
+            v_lam = v_lam + (0.5 * dt) * k2 * self._lam_slow_force(
+                frc_new.f_lam, lam, state.pH) * inv_ml
 
         if use_nhc:
             ke2 = 2.0 * kinetic_energy(v, ff.mass)

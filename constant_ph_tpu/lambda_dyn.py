@@ -254,6 +254,29 @@ def lambda_force(
     return force, U_ph + U_bias
 
 
+def analytic_lambda_force(
+    lam: jax.Array, spec: LambdaSpec, pH: jax.Array, T: float, p: BiasParams
+) -> jax.Array:
+    """The ANALYTIC (closed-form-in-λ) part of F_λ: −(dU_pH + dU_bias).
+
+    This is the stiff part of the λ landscape — measured curvature on
+    the solvated-acid system: 2.4e3 kcal/mol in the Donnini end-state
+    wells (period 28 fs) and 2.4e4 kcal/mol in the erf walls (period
+    8.9 fs), vs ≲2e2 for the electrostatic φ·dq term. At dt = 2 fs the
+    walls are 4.5 steps/period — far beyond Verlet stability, which is
+    how an uncalibrated (strongly tilted) landscape pumps λ kinetic
+    energy without bound (the round-5 λ-live PME NVE blowup,
+    examples/results/nve_drift_pme_k1_v5e.json). The integrator
+    therefore sub-steps λ against THIS force (λ-RESPA, cfg.lambda_inner)
+    while the expensive slowly-varying φ·dq (+ metadynamics) part stays
+    on the outer step as an impulse — the same Verlet-I split already
+    used for k-space (ref fix_constant_pH.cpp:69,113 MTS semantics).
+    """
+    _, dU_ph = ph_energy(lam, spec, pH, T, p)
+    _, dU_bias = bias(lam, p)
+    return -(dU_ph + dU_bias)
+
+
 def lambda_kinetic(v_lambda: jax.Array, spec: LambdaSpec) -> jax.Array:
     """Σ ½ m_λ v_λ² in kcal/mol (v_λ in 1/fs, m_λ in (g/mol)·Å²)."""
     return 0.5 * units.MVV2E * jnp.sum(spec.m_lambda * v_lambda * v_lambda)

@@ -414,6 +414,40 @@ class TiledEngine:
         v_f = jnp.where(odd, -v_lam, v_lam)
         return lam_f, v_f
 
+    def _lam_drift(self, lam, v_lam, pH, h, inv_ml):
+        """λ drift over h — λ-RESPA inner loop (cfg.lambda_inner).
+
+        With lambda_inner > 1, runs lambda_inner//2 velocity-Verlet
+        substeps against the ANALYTIC stiff force (Donnini wells + erf
+        walls + pH driving, lambda_dyn.analytic_lambda_force — measured
+        wall period 8.9 fs, 4.5 steps at dt=2: unresolved by the single-
+        rate integrator and the cause of the round-5 λ-live PME NVE
+        blowup). The expensive φ·dq and metadynamics forces stay on the
+        outer step (their curvature is ≲2e2 kcal/mol — slow), whose
+        kicks then carry f_lam MINUS the analytic part. Cost: S-element
+        closed forms per substep — invisible next to the pair stencil.
+        lambda_inner == 1 is the legacy single-rate drift."""
+        m = self.cfg.lambda_inner // 2
+        if m <= 0 or self.ts.spec is None:
+            return lam + h * v_lam, v_lam
+        hs = h / m
+        spec, T, bias = self.ts.spec, self.cfg.T, self.bias
+        for _ in range(m):
+            f = lambda_dyn.analytic_lambda_force(lam, spec, pH, T, bias)
+            v_lam = v_lam + (0.5 * hs) * f * inv_ml
+            lam = lam + hs * v_lam
+            f = lambda_dyn.analytic_lambda_force(lam, spec, pH, T, bias)
+            v_lam = v_lam + (0.5 * hs) * f * inv_ml
+        return lam, v_lam
+
+    def _lam_slow_force(self, f_lam, lam, pH):
+        """Outer-step λ force: total minus the analytic part the inner
+        loop integrates (exact split — both use the same closed forms)."""
+        if self.cfg.lambda_inner // 2 <= 0 or self.ts.spec is None:
+            return f_lam
+        return f_lam - lambda_dyn.analytic_lambda_force(
+            lam, self.ts.spec, pH, self.cfg.T, self.bias)
+
     def _cap_forces(self, frc: TiledForces) -> TiledForces:
         cap = self.cfg.force_cap
         if cap <= 0.0:
@@ -479,7 +513,8 @@ class TiledEngine:
         sv = sv + (0.5 * dt) * frc.fs * inv_ms
         if move_lam:
             k1 = self._lam_kick_scale(st.step, 0)
-            v_lam = v_lam + (0.5 * dt) * k1 * frc.f_lam * inv_ml
+            v_lam = v_lam + (0.5 * dt) * k1 * self._lam_slow_force(
+                frc.f_lam, st.lam, st.pH) * inv_ml
 
         if cfg.thermostat == "langevin" or (
             move_lam and cfg.lambda_thermostat == "langevin"
@@ -490,7 +525,8 @@ class TiledEngine:
         wx = wx + (0.5 * dt) * wv
         sx = sx + (0.5 * dt) * sv
         if move_lam:
-            lam = lam + (0.5 * dt) * v_lam
+            lam, v_lam = self._lam_drift(lam, v_lam, st.pH, 0.5 * dt,
+                                         inv_ml)
 
         # O (Langevin OU) — the OU heat feeds ext_work so h_conserved
         # tracks the Langevin effective energy. The heat is measured on
@@ -537,7 +573,8 @@ class TiledEngine:
         wx = wx + (0.5 * dt) * wv
         sx = sx + (0.5 * dt) * sv
         if move_lam:
-            lam = lam + (0.5 * dt) * v_lam
+            lam, v_lam = self._lam_drift(lam, v_lam, st.pH, 0.5 * dt,
+                                         inv_ml)
             lam, v_lam = self._reflect_lam(lam, v_lam)
 
         # SHAKE water (tiled, regular) + buffer-water solute constraints
@@ -561,7 +598,8 @@ class TiledEngine:
         sv = sv + (0.5 * dt) * frc_capped.fs * inv_ms
         if move_lam:
             k2 = self._lam_kick_scale(st.step, 1)
-            v_lam = v_lam + (0.5 * dt) * k2 * frc_new.f_lam * inv_ml
+            v_lam = v_lam + (0.5 * dt) * k2 * self._lam_slow_force(
+                frc_new.f_lam, lam, st.pH) * inv_ml
 
         if use_nhc:
             ke2 = 2.0 * ke_vel(wv, sv)

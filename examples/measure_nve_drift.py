@@ -42,6 +42,16 @@ def main():
                     help="headline PME electrostatics instead of DSF")
     ap.add_argument("--kspace-every", type=int, default=1,
                     help="reciprocal-space impulse MTS stride (PME only)")
+    ap.add_argument("--dg-ref", type=float, default=None,
+                    help="install this ΔG_ref before the NVE leg; "
+                         "'nan' => quick TI calibration. Without it the "
+                         "spec's default (0) leaves the λ landscape "
+                         "tilted by the FULL charging free energy "
+                         "(≈112 kcal/mol under PME on this system) — λ "
+                         "then slams the stiff walls and the drift "
+                         "measures that pathology, not the integrator "
+                         "(round-5 forensics, results/fd_dudl_check / "
+                         "nve_drift_pme_k1). Default: calibrate.")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     n_steps = args.steps
@@ -84,6 +94,20 @@ def main():
     tst = jax.device_put(tst, dev)
     log(f"equilibrated T={float(obs.temp[-1]):.0f}K, W={ts.params.W}")
 
+    # balance the λ landscape before measuring: with the spec default
+    # ΔG_ref = 0 the λ potential is tilted by the full charging free
+    # energy and the "drift" measures λ slamming its walls, not the
+    # integrator (see --dg-ref help)
+    dg = args.dg_ref
+    if dg is None:
+        from constant_ph_tpu import titration
+        dg = float(titration.calibrate_dG_ref_tiled(
+            ts, tst, cfg_eq, kspace_ep=kspace_ep,
+            equil_steps=400, sample_steps=1600, call_steps=2000))
+        log(f"TI-calibrated dG_ref = {dg:.2f} kcal/mol")
+    ts = ts.replace(spec=ts.spec.replace(
+        dG_ref=jnp.full_like(ts.spec.dG_ref, dg)))
+
     cfg = EngineConfig(dt=2.0, thermostat="nve", lambda_thermostat="none",
                        rebuild_every=12, kspace_every=k_ev)
     eng = TiledEngine(ts, cfg, kspace_ep=kspace_ep)
@@ -117,6 +141,8 @@ def main():
         "drift_kcalmol_per_ns": drift_per_ns,
         "drift_kT_per_atom_per_ns": drift_per_ns / kT / n_atoms,
         "overflow": overflow_any,
+        "dG_ref": dg,
+        "lambda_inner": cfg.lambda_inner,
         "H_first": hs[0], "H_last": hs[-1],
     }
     dst = args.out or (

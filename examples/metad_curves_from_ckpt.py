@@ -52,7 +52,10 @@ def main():
                     help="evaluate the pooled curves at this ΔG_ref "
                          "instead of the simulated one (a float, or "
                          "'class-fixed' for the per-class V-table fixed "
-                         "point). Exact: ΔG_ref is a linear tilt of the "
+                         "point, or 'class-loo' for leave-one-out class "
+                         "calibration — the honest per-site "
+                         "generalization metric). Exact: ΔG_ref is a "
+                         "linear tilt of the "
                          "λ Hamiltonian (metad.retilt_profile), so the "
                          "converged landscape re-evaluates at any "
                          "constant without a re-run. Requires --pooled")
@@ -120,6 +123,25 @@ def main():
                 dg_eval[sel] = D0 + dfc
             pooled_info["dg_ref_eval_per_class"] = {
                 str(k): float(v) for k, v in cls_fp.items()}
+        elif args.dg_ref_eval == "class-loo":
+            # leave-one-out: site i evaluates at the constant calibrated
+            # on its class SIBLINGS only — no data from site i enters
+            # its own calibration, so the per-site mad is a clean
+            # generalization error (the class-fixed per-class mad is
+            # calibrated-on-itself and measures switching-shape
+            # fidelity only).
+            loo = {}
+            for i in range(S):
+                sel = (np.abs(pks - pks[i]) < 1e-3)
+                sel[i] = False
+                if not sel.any():
+                    sel = np.abs(pks - pks[i]) < 1e-3   # lone site
+                dfc = float(np.asarray(metad.pooled_delta_f(
+                    jnp.asarray(F0[sel].mean(0)[None]), mp))[0])
+                dg_eval[i] = D0 + dfc
+                loo[i] = D0 + dfc
+            pooled_info["dg_ref_eval_loo"] = {
+                str(k): float(v) for k, v in loo.items()}
         elif args.dg_ref_eval is not None:
             dg_eval[:] = float(args.dg_ref_eval)
             pooled_info["dg_ref_eval"] = float(args.dg_ref_eval)
